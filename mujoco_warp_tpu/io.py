@@ -1,0 +1,523 @@
+"""Host-side model compiler and host<->device transfer.
+
+``put_model`` mirrors the reference's precomputation role
+(mujoco_warp/_src/io.py:77-647): it validates supported features, converts
+the C-compiled ``mujoco.MjModel`` into our pytree ``Model`` with structural
+metadata baked into static tuples, and precomputes the kinematic-tree
+levels, dof ancestry mask, and filtered collision pair lists.
+
+MJCF ingestion deliberately stays on host via the ``mujoco`` package —
+the reference makes the same call (SURVEY §3.2) and reusing the C model
+compiler is the correct engineering choice on any backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from . import types
+from .types import Contact, Data, Model, Option, Statistic
+
+
+def _tup(x) -> tuple:
+  """numpy int array -> nested tuple of python ints (hashable static)."""
+  a = np.asarray(x)
+  if a.ndim == 1:
+    return tuple(int(v) for v in a)
+  return tuple(_tup(r) for r in a)
+
+
+def _jp(x, dtype=None) -> jax.Array:
+  a = np.asarray(x)
+  if dtype is None:
+    dtype = jnp.float32 if a.dtype.kind == 'f' else a.dtype
+  return jnp.asarray(a, dtype=dtype)
+
+
+# Feature subsets currently supported (grown over time; the reference keeps
+# the same friendly-rejection policy, io.py:90-174).
+_SUPPORTED_JOINTS = {0, 1, 2, 3}
+_SUPPORTED_GEOMS = {
+    types.GeomType.PLANE, types.GeomType.SPHERE, types.GeomType.CAPSULE,
+    types.GeomType.ELLIPSOID, types.GeomType.CYLINDER, types.GeomType.BOX,
+    types.GeomType.MESH, types.GeomType.HFIELD, types.GeomType.SDF,
+}
+_SUPPORTED_INTEGRATORS = {
+    types.IntegratorType.EULER, types.IntegratorType.RK4,
+    types.IntegratorType.IMPLICITFAST,
+}
+_SUPPORTED_SOLVERS = {types.SolverType.CG, types.SolverType.NEWTON}
+
+
+def _validate(mjm: mujoco.MjModel):
+  for jtype in set(mjm.jnt_type):
+    if jtype not in _SUPPORTED_JOINTS:
+      raise NotImplementedError(f'joint type {jtype} not supported')
+  if mjm.opt.integrator not in _SUPPORTED_INTEGRATORS:
+    raise NotImplementedError(
+        f'integrator {mjm.opt.integrator} not supported')
+  if mjm.opt.solver not in _SUPPORTED_SOLVERS:
+    raise NotImplementedError(f'solver {mjm.opt.solver} not supported')
+  if mjm.nflex:
+    raise NotImplementedError('flex not yet supported')
+  if mjm.nplugin:
+    raise NotImplementedError('plugins not yet supported')
+
+
+def _body_levels(parentid: np.ndarray) -> tuple[tuple[int, ...], ...]:
+  """Group bodies 1..nbody-1 by tree depth for level-synchronous scans."""
+  nbody = len(parentid)
+  depth = np.zeros(nbody, dtype=int)
+  for b in range(1, nbody):
+    depth[b] = depth[parentid[b]] + 1
+  levels = []
+  for lvl in range(1, depth.max() + 1 if nbody > 1 else 1):
+    ids = tuple(int(b) for b in np.nonzero(depth == lvl)[0])
+    if ids:
+      levels.append(ids)
+  return tuple(levels)
+
+
+def _dof_ancestry(dof_parentid: np.ndarray) -> tuple:
+  """Per-dof ancestor chains (incl. self) and the dense (nv, nv) mask used
+  to assemble qM from composite inertias with one masked einsum."""
+  nv = len(dof_parentid)
+  rows = []
+  mask = np.zeros((nv, nv), dtype=np.float32)
+  for i in range(nv):
+    chain = []
+    j = i
+    while j >= 0:
+      chain.append(int(j))
+      mask[i, j] = 1.0
+      j = int(dof_parentid[j])
+    rows.append(tuple(reversed(chain)))
+  return tuple(rows), mask
+
+
+def geom_pair_key(t1: int, t2: int) -> tuple[int, int]:
+  return (t1, t2) if t1 <= t2 else (t2, t1)
+
+
+def _collision_pairs(mjm: mujoco.MjModel):
+  """Static broadphase precompute: filtered geom pair list grouped by
+  (type1, type2) with MuJoCo's contype/conaffinity, same-weld,
+  parent-child, and <exclude> filters (reference io.py:269-302)."""
+  from . import collision_primitive  # late import to avoid cycle
+
+  filterparent = not (mjm.opt.disableflags
+                      & types.DisableBit.FILTERPARENT)
+  exclude_sigs = set(int(s) for s in mjm.exclude_signature)
+  weld = mjm.body_weldid
+  weld_parent = mjm.body_weldid[mjm.body_parentid[weld]]
+  groups: dict[tuple[int, int], list] = {}
+  npairs = 0
+  for g1 in range(mjm.ngeom):
+    for g2 in range(g1 + 1, mjm.ngeom):
+      b1, b2 = int(mjm.geom_bodyid[g1]), int(mjm.geom_bodyid[g2])
+      w1, w2 = int(weld[b1]), int(weld[b2])
+      if w1 == w2:
+        continue
+      if filterparent and w1 != 0 and w2 != 0 and (
+          int(weld_parent[b1]) == w2 or int(weld_parent[b2]) == w1):
+        continue
+      sig = ((b1 << 16) + b2) if b1 < b2 else ((b2 << 16) + b1)
+      if sig in exclude_sigs:
+        continue
+      mask = (mjm.geom_contype[g1] & mjm.geom_conaffinity[g2]) or (
+          mjm.geom_contype[g2] & mjm.geom_conaffinity[g1])
+      if not mask:
+        continue
+      t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
+      gg1, gg2 = (g1, g2) if t1 <= t2 else (g2, g1)
+      key = geom_pair_key(t1, t2)
+      if key not in collision_primitive.COLLIDERS:
+        raise NotImplementedError(
+            f'collision pair type {key} not supported')
+      groups.setdefault(key, []).append((gg1, gg2))
+      npairs += 1
+  pairs = tuple(
+      (k[0], k[1], tuple(v)) for k, v in sorted(groups.items()))
+  ncand = sum(
+      collision_primitive.MAX_CONTACTS[(t1, t2)] * len(v)
+      for t1, t2, v in pairs)
+  return pairs, ncand
+
+
+def put_model(mjm: mujoco.MjModel) -> Model:
+  _validate(mjm)
+
+  if mjm.npair > 0:
+    raise NotImplementedError('explicit <pair> contacts not yet supported')
+  if mjm.ntendon > 0:
+    raise NotImplementedError('tendons not yet supported')
+
+  opt = Option(
+      timestep=_jp(mjm.opt.timestep),
+      tolerance=_jp(max(mjm.opt.tolerance, 1e-6)),  # f32 floor, ref io.py:182
+      ls_tolerance=_jp(mjm.opt.ls_tolerance),
+      gravity=_jp(mjm.opt.gravity),
+      wind=_jp(mjm.opt.wind),
+      magnetic=_jp(mjm.opt.magnetic),
+      density=_jp(mjm.opt.density),
+      viscosity=_jp(mjm.opt.viscosity),
+      impratio=_jp(mjm.opt.impratio),
+      o_margin=_jp(mjm.opt.o_margin),
+      o_solref=_jp(mjm.opt.o_solref),
+      o_solimp=_jp(mjm.opt.o_solimp),
+      o_friction=_jp(mjm.opt.o_friction),
+      integrator=int(mjm.opt.integrator),
+      cone=int(mjm.opt.cone),
+      solver=int(mjm.opt.solver),
+      iterations=int(mjm.opt.iterations),
+      ls_iterations=int(mjm.opt.ls_iterations),
+      ls_parallel=False,
+      disableflags=int(mjm.opt.disableflags),
+      enableflags=int(mjm.opt.enableflags),
+      run_collision_detection=True,
+  )
+
+  dof_ancestor_rows, ancestor_mask = _dof_ancestry(mjm.dof_parentid)
+
+  # subtree mask: c in subtree(b) iff b is on c's parent chain (or c == b)
+  nbody = mjm.nbody
+  subtree_mask = np.zeros((nbody, nbody), dtype=np.float32)
+  for c in range(nbody):
+    b = c
+    while b >= 0:
+      subtree_mask[b, c] = 1.0
+      if b == 0:
+        break
+      b = int(mjm.body_parentid[b])
+  body_dof_mask = np.zeros((nbody, mjm.nv), dtype=np.float32)
+  for b in range(nbody):
+    bb = b
+    while bb > 0:
+      adr, num = int(mjm.body_dofadr[bb]), int(mjm.body_dofnum[bb])
+      body_dof_mask[b, adr:adr + num] = 1.0
+      bb = int(mjm.body_parentid[bb])
+  collision_pairs, nxn_candidates = _collision_pairs(mjm)
+
+  # static condim per pair drives the efc row layout
+  condims = [1]
+  for _, _, glist in collision_pairs:
+    for g1, g2 in glist:
+      condims.append(_pair_condim(mjm, g1, g2))
+  condim_max = max(condims)
+
+  mocap_bodies = np.nonzero(mjm.body_mocapid >= 0)[0]
+  mocap_pos0 = mjm.body_pos[mocap_bodies] if len(
+      mocap_bodies) else np.zeros((0, 3))
+  mocap_quat0 = mjm.body_quat[mocap_bodies] if len(
+      mocap_bodies) else np.zeros((0, 4))
+
+  return Model(
+      nq=mjm.nq, nv=mjm.nv, nu=mjm.nu, na=mjm.na, nbody=mjm.nbody,
+      njnt=mjm.njnt, ngeom=mjm.ngeom, nsite=mjm.nsite, ncam=mjm.ncam,
+      nlight=mjm.nlight, neq=mjm.neq, nmocap=mjm.nmocap,
+      ngravcomp=mjm.ngravcomp, nsensor=mjm.nsensor,
+      nsensordata=mjm.nsensordata, npair=mjm.npair, nexclude=mjm.nexclude,
+      ntendon=mjm.ntendon, nwrap=mjm.nwrap,
+      body_parentid=_tup(mjm.body_parentid),
+      body_rootid=_tup(mjm.body_rootid),
+      body_weldid=_tup(mjm.body_weldid),
+      body_mocapid=_tup(mjm.body_mocapid),
+      body_jntadr=_tup(mjm.body_jntadr),
+      body_jntnum=_tup(mjm.body_jntnum),
+      body_dofadr=_tup(mjm.body_dofadr),
+      body_dofnum=_tup(mjm.body_dofnum),
+      body_geomadr=_tup(mjm.body_geomadr),
+      body_geomnum=_tup(mjm.body_geomnum),
+      body_treeid=_tup(mjm.body_treeid),
+      body_levels=_body_levels(mjm.body_parentid),
+      jnt_type=_tup(mjm.jnt_type),
+      jnt_qposadr=_tup(mjm.jnt_qposadr),
+      jnt_dofadr=_tup(mjm.jnt_dofadr),
+      jnt_bodyid=_tup(mjm.jnt_bodyid),
+      jnt_limited=_tup(mjm.jnt_limited),
+      jnt_actfrclimited=_tup(mjm.jnt_actfrclimited),
+      jnt_actgravcomp=_tup(mjm.jnt_actgravcomp),
+      dof_bodyid=_tup(mjm.dof_bodyid),
+      dof_jntid=_tup(mjm.dof_jntid),
+      dof_parentid=_tup(mjm.dof_parentid),
+      dof_treeid=_tup(mjm.dof_treeid),
+      dof_ancestor_rows=dof_ancestor_rows,
+      dof_hasfrictionloss=_tup(mjm.dof_frictionloss > 0),
+      geom_type=_tup(mjm.geom_type),
+      geom_bodyid=_tup(mjm.geom_bodyid),
+      geom_dataid=_tup(mjm.geom_dataid),
+      geom_condim=_tup(mjm.geom_condim),
+      geom_priority=_tup(mjm.geom_priority),
+      site_bodyid=_tup(mjm.site_bodyid),
+      site_type=_tup(mjm.site_type),
+      cam_bodyid=_tup(mjm.cam_bodyid),
+      cam_mode=_tup(mjm.cam_mode),
+      cam_targetbodyid=_tup(mjm.cam_targetbodyid),
+      light_bodyid=_tup(mjm.light_bodyid),
+      light_mode=_tup(mjm.light_mode),
+      light_targetbodyid=_tup(mjm.light_targetbodyid),
+      eq_type=_tup(mjm.eq_type),
+      eq_obj1id=_tup(mjm.eq_obj1id),
+      eq_obj2id=_tup(mjm.eq_obj2id),
+      eq_objtype=_tup(mjm.eq_objtype),
+      actuator_trntype=_tup(mjm.actuator_trntype),
+      actuator_dyntype=_tup(mjm.actuator_dyntype),
+      actuator_gaintype=_tup(mjm.actuator_gaintype),
+      actuator_biastype=_tup(mjm.actuator_biastype),
+      actuator_trnid=_tup(mjm.actuator_trnid),
+      actuator_actadr=_tup(mjm.actuator_actadr),
+      actuator_actnum=_tup(mjm.actuator_actnum),
+      actuator_ctrllimited=_tup(mjm.actuator_ctrllimited),
+      actuator_forcelimited=_tup(mjm.actuator_forcelimited),
+      actuator_actlimited=_tup(mjm.actuator_actlimited),
+      actuator_actearly=_tup(mjm.actuator_actearly),
+      tendon_adr=_tup(mjm.tendon_adr),
+      tendon_num=_tup(mjm.tendon_num),
+      tendon_limited=_tup(mjm.tendon_limited),
+      wrap_type=_tup(mjm.wrap_type),
+      wrap_objid=_tup(mjm.wrap_objid),
+      sensor_type=_tup(mjm.sensor_type),
+      sensor_datatype=_tup(mjm.sensor_datatype),
+      sensor_objtype=_tup(mjm.sensor_objtype),
+      sensor_objid=_tup(mjm.sensor_objid),
+      sensor_reftype=_tup(mjm.sensor_reftype),
+      sensor_refid=_tup(mjm.sensor_refid),
+      sensor_adr=_tup(mjm.sensor_adr),
+      sensor_dim=_tup(mjm.sensor_dim),
+      sensor_needstage=_tup(mjm.sensor_needstage),
+      collision_pairs=collision_pairs,
+      nxn_candidates=nxn_candidates,
+      condim_max=condim_max,
+      opt=opt,
+      stat=Statistic(meaninertia=_jp(mjm.stat.meaninertia)),
+      qpos0=_jp(mjm.qpos0),
+      qpos_spring=_jp(mjm.qpos_spring),
+      body_pos=_jp(mjm.body_pos),
+      body_quat=_jp(mjm.body_quat),
+      body_ipos=_jp(mjm.body_ipos),
+      body_iquat=_jp(mjm.body_iquat),
+      body_mass=_jp(mjm.body_mass),
+      body_subtreemass=_jp(mjm.body_subtreemass),
+      body_inertia=_jp(mjm.body_inertia),
+      body_invweight0=_jp(mjm.body_invweight0),
+      body_gravcomp=_jp(mjm.body_gravcomp),
+      jnt_solref=_jp(mjm.jnt_solref),
+      jnt_solimp=_jp(mjm.jnt_solimp),
+      jnt_pos=_jp(mjm.jnt_pos),
+      jnt_axis=_jp(mjm.jnt_axis),
+      jnt_stiffness=_jp(mjm.jnt_stiffness),
+      jnt_range=_jp(mjm.jnt_range),
+      jnt_actfrcrange=_jp(mjm.jnt_actfrcrange),
+      jnt_margin=_jp(mjm.jnt_margin),
+      dof_solref=_jp(mjm.dof_solref),
+      dof_solimp=_jp(mjm.dof_solimp),
+      dof_frictionloss=_jp(mjm.dof_frictionloss),
+      dof_armature=_jp(mjm.dof_armature),
+      dof_damping=_jp(mjm.dof_damping),
+      dof_invweight0=_jp(mjm.dof_invweight0),
+      dof_M0=_jp(mjm.dof_M0),
+      geom_pos=_jp(mjm.geom_pos),
+      geom_quat=_jp(mjm.geom_quat),
+      geom_size=_jp(mjm.geom_size),
+      geom_friction=_jp(mjm.geom_friction),
+      geom_solref=_jp(mjm.geom_solref),
+      geom_solimp=_jp(mjm.geom_solimp),
+      geom_solmix=_jp(mjm.geom_solmix),
+      geom_margin=_jp(mjm.geom_margin),
+      geom_gap=_jp(mjm.geom_gap),
+      geom_rbound=_jp(mjm.geom_rbound),
+      geom_aabb=_jp(mjm.geom_aabb.reshape(mjm.ngeom, 6)),
+      site_pos=_jp(mjm.site_pos),
+      site_quat=_jp(mjm.site_quat),
+      site_size=_jp(mjm.site_size),
+      cam_pos=_jp(mjm.cam_pos),
+      cam_quat=_jp(mjm.cam_quat),
+      cam_poscom0=_jp(mjm.cam_poscom0),
+      cam_pos0=_jp(mjm.cam_pos0),
+      cam_mat0=_jp(mjm.cam_mat0.reshape(mjm.ncam, 3, 3)),
+      light_pos=_jp(mjm.light_pos),
+      light_dir=_jp(mjm.light_dir),
+      light_poscom0=_jp(mjm.light_poscom0),
+      light_pos0=_jp(mjm.light_pos0),
+      light_dir0=_jp(mjm.light_dir0),
+      eq_solref=_jp(mjm.eq_solref),
+      eq_solimp=_jp(mjm.eq_solimp),
+      eq_data=_jp(mjm.eq_data),
+      eq_active0=_jp(mjm.eq_active0, dtype=bool),
+      actuator_dynprm=_jp(mjm.actuator_dynprm),
+      actuator_gainprm=_jp(mjm.actuator_gainprm),
+      actuator_biasprm=_jp(mjm.actuator_biasprm),
+      actuator_ctrlrange=_jp(mjm.actuator_ctrlrange),
+      actuator_forcerange=_jp(mjm.actuator_forcerange),
+      actuator_actrange=_jp(mjm.actuator_actrange),
+      actuator_gear=_jp(mjm.actuator_gear),
+      actuator_cranklength=_jp(mjm.actuator_cranklength),
+      actuator_acc0=_jp(mjm.actuator_acc0),
+      actuator_lengthrange=_jp(mjm.actuator_lengthrange),
+      actuator_length0=_jp(mjm.actuator_length0),
+      tendon_solref_lim=_jp(mjm.tendon_solref_lim),
+      tendon_solimp_lim=_jp(mjm.tendon_solimp_lim),
+      tendon_range=_jp(mjm.tendon_range),
+      tendon_margin=_jp(mjm.tendon_margin),
+      tendon_stiffness=_jp(mjm.tendon_stiffness),
+      tendon_damping=_jp(mjm.tendon_damping),
+      tendon_frictionloss=_jp(mjm.tendon_frictionloss),
+      tendon_lengthspring=_jp(mjm.tendon_lengthspring),
+      tendon_invweight0=_jp(mjm.tendon_invweight0),
+      wrap_prm=_jp(mjm.wrap_prm),
+      pair_dim_=_jp(np.zeros(0)),
+      exclude_signature=_jp(mjm.exclude_signature, dtype=jnp.int32),
+      sensor_cutoff=_jp(mjm.sensor_cutoff),
+      mocap_pos0=_jp(mocap_pos0),
+      mocap_quat0=_jp(mocap_quat0),
+      dof_ancestor_mask=_jp(ancestor_mask),
+      body_subtree_mask=_jp(subtree_mask),
+      body_dof_ancestor_mask=_jp(body_dof_mask),
+  )
+
+
+def _pair_condim(mjm: mujoco.MjModel, g1: int, g2: int) -> int:
+  """Static condim for a geom pair (priority rules, mj_contactParam)."""
+  p1, p2 = int(mjm.geom_priority[g1]), int(mjm.geom_priority[g2])
+  if p1 > p2:
+    return int(mjm.geom_condim[g1])
+  if p2 > p1:
+    return int(mjm.geom_condim[g2])
+  return max(int(mjm.geom_condim[g1]), int(mjm.geom_condim[g2]))
+
+
+# ---------------------------------------------------------------------------
+# efc row layout (static; see constraint.py for assembly)
+# ---------------------------------------------------------------------------
+
+
+def efc_layout(m: Model, nconmax: int):
+  """Static efc row layout: (ne, nf, nl, contact row stride, njmax).
+
+  Unlike the reference's per-world atomic row allocation
+  (constraint.py:2209), rows live at fixed addresses with an active mask —
+  the XLA-native formulation (no dynamic shapes, no atomics)."""
+  ne = 0
+  for i in range(m.neq):
+    ne += {types.EqType.CONNECT: 3, types.EqType.WELD: 6,
+           types.EqType.JOINT: 1}[types.EqType(m.eq_type[i])]
+  nf = sum(m.dof_hasfrictionloss)
+  nl = sum(1 for i in range(m.njnt) if m.jnt_limited[i])
+  if m.opt.cone == types.ConeType.PYRAMIDAL:
+    stride = max(2 * (m.condim_max - 1), 1)
+  else:
+    stride = m.condim_max
+  njmax = ne + nf + nl + nconmax * stride
+  return ne, nf, nl, stride, njmax
+
+
+def make_data(m: Model, nconmax: int | None = None,
+              njmax: int | None = None) -> Data:
+  """Allocate a single-world Data at qpos0 (vmap this and put_model's output
+  stays shared). nconmax defaults mirror the reference ladder heuristic
+  (io.py:664-688) in spirit: enough for the static candidate count."""
+  del njmax  # row budget is derived statically from nconmax; kept for API
+  if nconmax is None:
+    nconmax = max(min(m.nxn_candidates, 64), 1)
+  nconmax = max(nconmax, 1)
+  _, _, _, _, njmax_actual = efc_layout(m, nconmax)
+  nv, nq, nu, na, nbody = m.nv, m.nq, m.nu, m.na, m.nbody
+  f = jnp.float32
+  z = lambda *s: jnp.zeros(s, dtype=f)
+  zi = lambda *s: jnp.zeros(s, dtype=jnp.int32)
+
+  contact = Contact(
+      dist=z(nconmax), pos=z(nconmax, 3), frame=z(nconmax, 3, 3),
+      includemargin=z(nconmax), friction=z(nconmax, 5),
+      solref=z(nconmax, 2), solreffriction=z(nconmax, 2),
+      solimp=z(nconmax, 5), dim=zi(nconmax), geom=-jnp.ones(
+          (nconmax, 2), dtype=jnp.int32), efc_address=-jnp.ones(
+              (nconmax,), dtype=jnp.int32))
+
+  d = Data(
+      time=z(), energy=z(2), ncon=zi(), ne=zi(), nf=zi(), nl=zi(),
+      nefc=zi(), ncollision=zi(), solver_niter=zi(),
+      qpos=m.qpos0, qvel=z(nv), act=z(na), ctrl=z(nu),
+      qacc_warmstart=z(nv),
+      mocap_pos=m.mocap_pos0.astype(f), mocap_quat=m.mocap_quat0.astype(f),
+      qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
+      eq_active=m.eq_active0,
+      xpos=z(nbody, 3), xquat=z(nbody, 4), xmat=z(nbody, 3, 3),
+      xipos=z(nbody, 3), ximat=z(nbody, 3, 3),
+      xanchor=z(m.njnt, 3), xaxis=z(m.njnt, 3),
+      geom_xpos=z(m.ngeom, 3), geom_xmat=z(m.ngeom, 3, 3),
+      site_xpos=z(m.nsite, 3), site_xmat=z(m.nsite, 3, 3),
+      cam_xpos=z(m.ncam, 3), cam_xmat=z(m.ncam, 3, 3),
+      light_xpos=z(m.nlight, 3), light_xdir=z(m.nlight, 3),
+      subtree_com=z(nbody, 3), cinert=z(nbody, 10), cdof=z(nv, 6),
+      crb=z(nbody, 10), cvel=z(nbody, 6), cdof_dot=z(nv, 6),
+      cacc=z(nbody, 6), cfrc_int=z(nbody, 6), cfrc_ext=z(nbody, 6),
+      subtree_linvel=z(nbody, 3), subtree_angmom=z(nbody, 3),
+      qM=z(nv, nv), qLD=z(nv, nv),
+      actuator_length=z(nu), actuator_moment=z(nu, nv),
+      actuator_velocity=z(nu), actuator_force=z(nu), act_dot=z(na),
+      ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
+      ten_velocity=z(m.ntendon),
+      qfrc_spring=z(nv), qfrc_damper=z(nv), qfrc_gravcomp=z(nv),
+      qfrc_fluid=z(nv), qfrc_passive=z(nv), qfrc_bias=z(nv),
+      qfrc_actuator=z(nv), qfrc_smooth=z(nv), qacc_smooth=z(nv),
+      qfrc_constraint=z(nv), qfrc_inverse=z(nv), qacc=z(nv),
+      contact=contact,
+      efc_type=zi(njmax_actual), efc_id=zi(njmax_actual),
+      efc_J=z(njmax_actual, nv), efc_pos=z(njmax_actual),
+      efc_margin=z(njmax_actual), efc_D=z(njmax_actual),
+      efc_vel=z(njmax_actual), efc_aref=z(njmax_actual),
+      efc_frictionloss=z(njmax_actual), efc_force=z(njmax_actual),
+      efc_active=jnp.zeros(njmax_actual, dtype=bool),
+      sensordata=z(m.nsensordata),
+  )
+  return d
+
+
+def put_data(mjm: mujoco.MjModel, mjd: mujoco.MjData, m: Model,
+             nconmax: int | None = None) -> Data:
+  """Copy one world of host MjData into a fresh Data."""
+  d = make_data(m, nconmax=nconmax)
+  f = jnp.float32
+  d = d.replace(
+      time=_jp(mjd.time, f), qpos=_jp(mjd.qpos), qvel=_jp(mjd.qvel),
+      act=_jp(mjd.act), ctrl=_jp(mjd.ctrl),
+      qacc_warmstart=_jp(mjd.qacc_warmstart),
+      mocap_pos=_jp(mjd.mocap_pos), mocap_quat=_jp(mjd.mocap_quat),
+      qfrc_applied=_jp(mjd.qfrc_applied),
+      xfrc_applied=_jp(mjd.xfrc_applied),
+      eq_active=_jp(mjd.eq_active, bool),
+      qacc=_jp(mjd.qacc),
+  )
+  return d
+
+
+def get_data_into(mjd: mujoco.MjData, m: Model, d: Data):
+  """Copy one world of device Data back into host MjData (reference
+  io.py:1243). Contact/efc fields are skipped for now (layout differs)."""
+  for name in ('time', 'qpos', 'qvel', 'act', 'ctrl', 'qacc',
+               'qacc_warmstart', 'mocap_pos', 'mocap_quat',
+               'xpos', 'xquat', 'xipos', 'xanchor', 'xaxis',
+               'geom_xpos', 'site_xpos', 'subtree_com', 'cdof', 'cvel',
+               'qfrc_bias', 'qfrc_passive', 'qfrc_actuator',
+               'qfrc_smooth', 'qacc_smooth', 'qfrc_constraint',
+               'actuator_length', 'actuator_velocity', 'actuator_force',
+               'sensordata'):
+    val = np.asarray(getattr(d, name))
+    getattr(mjd, name)[...] = val.reshape(getattr(mjd, name).shape)
+  for name, attr in (('xmat', 'xmat'), ('ximat', 'ximat'),
+                     ('geom_xmat', 'geom_xmat'), ('site_xmat', 'site_xmat')):
+    val = np.asarray(getattr(d, name))
+    getattr(mjd, attr)[...] = val.reshape(getattr(mjd, attr).shape)
+
+
+def reset_data(m: Model, d: Data) -> Data:
+  """Reset to qpos0 (the RL env-reset primitive; reference io.py:1458).
+  Under vmap, combine with jnp.where masks for selective per-world reset."""
+  fresh = make_data(m, nconmax=d.contact.dist.shape[0])
+  return fresh
