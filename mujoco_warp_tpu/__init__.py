@@ -34,7 +34,31 @@ from .types import (
     Statistic,
     TrnType,
 )
+from .forward import (
+    euler,
+    forward,
+    fwd_acceleration,
+    fwd_actuation,
+    fwd_position,
+    fwd_velocity,
+    implicit,
+    rungekutta4,
+    step,
+    step1,
+    step2,
+)
+from .solver import solve
+from .collision_driver import collision
+from .constraint import make_constraint
+from . import collision_driver
+from . import collision_primitive
+from . import constraint
+from . import derivative
 from . import math
+from . import passive
+from . import sensor
 from . import smooth
+from . import solver
+from . import support
 
 __version__ = '0.1.0'

@@ -1,0 +1,136 @@
+"""Collision pipeline: static filtered pair list -> vectorized
+narrowphase -> mask compaction into the per-world contact pool.
+
+TPU-native reformulation of the reference's driver
+(mujoco_warp/_src/collision_driver.py): the pair list is filtered at
+put_model time (io._collision_pairs), every candidate contact has a
+static slot, and "allocation" is a prefix-sum scatter instead of a global
+atomic cursor (reference collision_core.py:160). Broadphase culling
+becomes a mask (candidates beyond bounding-sphere overlap produce
+dist=+inf) rather than a variable-length pair queue — on TPU, computing a
+cheap candidate and masking beats divergent queue management.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import collision_primitive
+from .types import Data, DisableBit, Model
+
+
+def _candidate_params(m: Model, g1s: np.ndarray, g2s: np.ndarray,
+                      condims: np.ndarray):
+  """Mix contact parameters for each candidate pair
+  (C mj_contactParam; reference collision_core.py:236)."""
+  f1 = m.geom_friction[g1s]
+  f2 = m.geom_friction[g2s]
+  p1 = np.array([m.geom_priority[g] for g in g1s])
+  p2 = np.array([m.geom_priority[g] for g in g2s])
+  use1 = jnp.asarray(p1 > p2)
+  use2 = jnp.asarray(p2 > p1)
+  eq = jnp.asarray(p1 == p2)
+
+  fmax = jnp.maximum(f1, f2)
+  fr3 = jnp.where(eq[:, None], fmax, jnp.where(use1[:, None], f1, f2))
+  friction = jnp.stack([fr3[:, 0], fr3[:, 0], fr3[:, 1], fr3[:, 2],
+                        fr3[:, 2]], axis=1)
+
+  solmix1 = m.geom_solmix[g1s]
+  solmix2 = m.geom_solmix[g2s]
+  denom = solmix1 + solmix2
+  mix = jnp.where(denom > 1e-12, solmix1 / jnp.where(denom > 1e-12, denom,
+                                                     1.0), 0.5)
+  mix = jnp.where((solmix1 < 1e-12) & (solmix2 < 1e-12), 0.5, mix)
+  mix = jnp.where((solmix1 < 1e-12) & (solmix2 >= 1e-12), 0.0, mix)
+  mix = jnp.where((solmix2 < 1e-12) & (solmix1 >= 1e-12), 1.0, mix)
+  mix = jnp.where(eq, mix, jnp.where(use1, 1.0, 0.0))
+
+  sr1, sr2 = m.geom_solref[g1s], m.geom_solref[g2s]
+  standard = (sr1[:, 0] > 0) & (sr2[:, 0] > 0)
+  solref = jnp.where(standard[:, None], mix[:, None] * sr1 +
+                     (1 - mix)[:, None] * sr2, jnp.minimum(sr1, sr2))
+  si1, si2 = m.geom_solimp[g1s], m.geom_solimp[g2s]
+  solimp = mix[:, None] * si1 + (1 - mix)[:, None] * si2
+
+  margin = jnp.maximum(m.geom_margin[g1s], m.geom_margin[g2s])
+  gap = jnp.maximum(m.geom_gap[g1s], m.geom_gap[g2s])
+  includemargin = margin - gap
+  solreffriction = jnp.zeros_like(solref)
+  return (friction, solref, solreffriction, solimp, margin, includemargin,
+          jnp.asarray(condims, dtype=jnp.int32))
+
+
+def collision(m: Model, d: Data) -> Data:
+  """Narrowphase over the static pair list + compaction
+  (reference collision_driver.py:755)."""
+  con = d.contact
+  nconmax = con.dist.shape[0]
+  if (m.nxn_candidates == 0 or nconmax == 0 or
+      m.opt.disableflags & DisableBit.CONTACT):
+    return d.replace(ncon=jnp.zeros((), jnp.int32))
+
+  dtype = d.qpos.dtype
+  dists, poss, frames = [], [], []
+  g1_list, g2_list, condim_list = [], [], []
+  for t1, t2, glist in m.collision_pairs:
+    fn = collision_primitive.COLLIDERS[(t1, t2)]
+    for g1, g2 in glist:
+      dist_k, pos_k, frame_k = fn(m, d, g1, g2)
+      k = dist_k.shape[0]
+      dists.append(dist_k)
+      poss.append(pos_k)
+      frames.append(frame_k)
+      g1_list += [g1] * k
+      g2_list += [g2] * k
+      condim_list += [_static_condim(m, g1, g2)] * k
+
+  dist = jnp.concatenate(dists)
+  pos = jnp.concatenate(poss, axis=0)
+  frame = jnp.concatenate(frames, axis=0)
+  g1s = np.array(g1_list)
+  g2s = np.array(g2_list)
+  (friction, solref, solreffriction, solimp, margin, includemargin,
+   condim) = _candidate_params(m, g1s, g2s, np.array(condim_list))
+
+  # inclusion rule: dist < margin (C mj_collision)
+  active = dist < margin
+  ncollision = jnp.sum(active.astype(jnp.int32))
+  # stream compaction: prefix-sum slot assignment, drop on overflow
+  slot = jnp.cumsum(active.astype(jnp.int32)) - 1
+  slot = jnp.where(active & (slot < nconmax), slot, nconmax)  # drop idx
+  ncon = jnp.minimum(ncollision, nconmax)
+
+  def scatter(init, vals):
+    return init.at[slot].set(vals, mode='drop')
+
+  big = jnp.full((dist.shape[0],), 1e10, dtype)
+  new_con = con.replace(
+      dist=scatter(jnp.full_like(con.dist, 1e10), dist),
+      pos=scatter(jnp.zeros_like(con.pos), pos),
+      frame=scatter(jnp.zeros_like(con.frame), frame),
+      includemargin=scatter(jnp.zeros_like(con.includemargin),
+                            includemargin),
+      friction=scatter(jnp.ones_like(con.friction), friction),
+      solref=scatter(jnp.full_like(con.solref, 0.02), solref),
+      solreffriction=scatter(jnp.zeros_like(con.solreffriction),
+                             solreffriction),
+      solimp=scatter(jnp.full_like(con.solimp, 0.9), solimp),
+      dim=scatter(jnp.ones_like(con.dim), condim),
+      geom=scatter(-jnp.ones_like(con.geom),
+                   jnp.stack([jnp.asarray(g1s, jnp.int32),
+                              jnp.asarray(g2s, jnp.int32)], axis=1)),
+  )
+  del big
+  return d.replace(contact=new_con, ncon=ncon, ncollision=ncollision)
+
+
+def _static_condim(m: Model, g1: int, g2: int) -> int:
+  p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+  if p1 > p2:
+    return m.geom_condim[g1]
+  if p2 > p1:
+    return m.geom_condim[g2]
+  return max(m.geom_condim[g1], m.geom_condim[g2])

@@ -1,0 +1,330 @@
+"""Step orchestration: forward dynamics pipeline + integrators.
+
+TPU-native counterpart of mujoco_warp/_src/forward.py. Every function is
+pure ``(Model, Data) -> Data``; ``step`` composes the full pipeline and is
+designed to be wrapped as ``jax.jit(jax.vmap(step, in_axes=(None, 0)))`` —
+the XLA analogue of the reference's CUDA-graph-captured batched step
+(forward.py:1004; benchmark.py:128-137).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import collision_driver
+from . import constraint
+from . import math
+from . import passive as passive_mod
+from . import sensor as sensor_mod
+from . import smooth
+from . import solver as solver_mod
+from . import support
+from .types import (BiasType, Data, DisableBit, DynType, GainType,
+                    IntegratorType, JointType, Model)
+
+_EINSUM = dict(precision=jax.lax.Precision.HIGHEST)
+
+
+def named(name):
+  def deco(fn):
+    def wrapped(*args, **kw):
+      with jax.named_scope(name):
+        return fn(*args, **kw)
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+  return deco
+
+
+@named('fwd_position')
+def fwd_position(m: Model, d: Data) -> Data:
+  """Position-dependent computations (reference forward.py:514)."""
+  d = smooth.kinematics(m, d)
+  d = smooth.com_pos(m, d)
+  d = smooth.camlight(m, d)
+  d = smooth.crb(m, d)
+  d = smooth.factor_m(m, d)
+  if m.opt.run_collision_detection:
+    d = collision_driver.collision(m, d)
+  d = constraint.make_constraint(m, d)
+  d = smooth.transmission(m, d)
+  return d
+
+
+@named('fwd_velocity')
+def fwd_velocity(m: Model, d: Data) -> Data:
+  """Velocity-dependent computations (reference forward.py:593)."""
+  if m.nu:
+    actuator_velocity = jnp.einsum('un,n->u', d.actuator_moment, d.qvel,
+                                   **_EINSUM)
+    d = d.replace(actuator_velocity=actuator_velocity)
+  d = smooth.com_vel(m, d)
+  d = passive_mod.passive(m, d)
+  d = smooth.rne(m, d)
+  return d
+
+
+@named('fwd_actuation')
+def fwd_actuation(m: Model, d: Data) -> Data:
+  """Actuator forces (reference forward.py:837; C mj_fwdActuation)."""
+  dtype = d.qpos.dtype
+  if m.nu == 0 or m.opt.disableflags & DisableBit.ACTUATION:
+    return d.replace(qfrc_actuator=jnp.zeros(m.nv, dtype),
+                     actuator_force=jnp.zeros(m.nu, dtype),
+                     act_dot=jnp.zeros(m.na, dtype))
+
+  # clamp ctrl
+  ctrl = d.ctrl
+  if not m.opt.disableflags & DisableBit.CLAMPCTRL:
+    limited = jnp.array(m.actuator_ctrllimited, dtype=bool)
+    ctrl = jnp.where(limited,
+                     jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
+                              m.actuator_ctrlrange[:, 1]), ctrl)
+
+  # activation dynamics act_dot
+  act_dot = jnp.zeros(m.na, dtype)
+  for u in range(m.nu):
+    dyntype = m.actuator_dyntype[u]
+    if dyntype == DynType.NONE:
+      continue
+    aadr = m.actuator_actadr[u] + m.actuator_actnum[u] - 1
+    if dyntype == DynType.INTEGRATOR:
+      act_dot = act_dot.at[aadr].set(ctrl[u])
+    elif dyntype in (DynType.FILTER, DynType.FILTEREXACT):
+      tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
+      act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
+    else:
+      raise NotImplementedError(f'dyntype {dyntype}')
+
+  # force = gain * input + bias
+  forces = []
+  for u in range(m.nu):
+    if m.actuator_dyntype[u] == DynType.NONE:
+      inp = ctrl[u]
+    else:
+      aadr = m.actuator_actadr[u] + m.actuator_actnum[u] - 1
+      if m.actuator_actearly[u]:
+        inp = d.act[aadr] + m.opt.timestep * act_dot[aadr]
+      else:
+        inp = d.act[aadr]
+    length, velocity = d.actuator_length[u], d.actuator_velocity[u]
+    gaintype, biastype = m.actuator_gaintype[u], m.actuator_biastype[u]
+    gp, bp = m.actuator_gainprm[u], m.actuator_biasprm[u]
+    if gaintype == GainType.FIXED:
+      gain = gp[0]
+    elif gaintype == GainType.AFFINE:
+      gain = gp[0] + gp[1] * length + gp[2] * velocity
+    else:
+      raise NotImplementedError(f'gaintype {gaintype}')
+    if biastype == BiasType.NONE:
+      bias = jnp.zeros((), dtype)
+    elif biastype == BiasType.AFFINE:
+      bias = bp[0] + bp[1] * length + bp[2] * velocity
+    else:
+      raise NotImplementedError(f'biastype {biastype}')
+    forces.append(gain * inp + bias)
+  force = jnp.stack(forces)
+
+  flimited = jnp.array(m.actuator_forcelimited, dtype=bool)
+  force = jnp.where(flimited,
+                    jnp.clip(force, m.actuator_forcerange[:, 0],
+                             m.actuator_forcerange[:, 1]), force)
+
+  qfrc_actuator = jnp.einsum('un,u->n', d.actuator_moment, force, **_EINSUM)
+  # per-dof actuator force clamp (jnt_actfrclimited)
+  if any(m.jnt_actfrclimited):
+    lo = jnp.array([m.jnt_actfrcrange[m.dof_jntid[i], 0]
+                    for i in range(m.nv)])
+    hi = jnp.array([m.jnt_actfrcrange[m.dof_jntid[i], 1]
+                    for i in range(m.nv)])
+    lim = jnp.array([bool(m.jnt_actfrclimited[m.dof_jntid[i]])
+                     for i in range(m.nv)])
+    qfrc_actuator = jnp.where(lim, jnp.clip(qfrc_actuator, lo, hi),
+                              qfrc_actuator)
+  return d.replace(act_dot=act_dot, actuator_force=force,
+                   qfrc_actuator=qfrc_actuator, ctrl=d.ctrl)
+
+
+@named('fwd_acceleration')
+def fwd_acceleration(m: Model, d: Data) -> Data:
+  """Smooth accelerations (reference forward.py:950)."""
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_applied +
+                 d.qfrc_actuator + support.xfrc_accumulate(m, d))
+  qacc_smooth = smooth.solve_m(m, d, qfrc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+@named('forward')
+def forward(m: Model, d: Data) -> Data:
+  """Full forward dynamics (reference forward.py:973)."""
+  d = fwd_position(m, d)
+  d = sensor_mod.sensor_pos(m, d)
+  d = fwd_velocity(m, d)
+  d = sensor_mod.sensor_vel(m, d)
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = solver_mod.solve(m, d)
+  d = sensor_mod.sensor_acc(m, d)
+  return d
+
+
+def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
+                   dt) -> jax.Array:
+  """mj_integratePos: joint-type-aware position integration."""
+  out = qpos
+  for j in range(m.njnt):
+    jtype = m.jnt_type[j]
+    qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    if jtype == JointType.FREE:
+      out = out.at[qadr:qadr + 3].set(
+          qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3])
+      quat = math.quat_integrate(qpos[qadr + 3:qadr + 7],
+                                 qvel[dadr + 3:dadr + 6], dt)
+      out = out.at[qadr + 3:qadr + 7].set(quat)
+    elif jtype == JointType.BALL:
+      quat = math.quat_integrate(qpos[qadr:qadr + 4],
+                                 qvel[dadr:dadr + 3], dt)
+      out = out.at[qadr:qadr + 4].set(quat)
+    else:
+      out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+  return out
+
+
+def _advance_act(m: Model, d: Data, act_dot: jax.Array) -> jax.Array:
+  """Activation integration with FILTEREXACT + actrange clamping."""
+  if m.na == 0:
+    return d.act
+  h = m.opt.timestep
+  act = d.act + act_dot * h
+  for u in range(m.nu):
+    if m.actuator_dyntype[u] == DynType.FILTEREXACT:
+      aadr = m.actuator_actadr[u] + m.actuator_actnum[u] - 1
+      tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
+      act = act.at[aadr].set(
+          d.act[aadr] + act_dot[aadr] * tau * (1.0 - jnp.exp(-h / tau)))
+  for u in range(m.nu):
+    if m.actuator_actlimited[u]:
+      aadr = m.actuator_actadr[u] + m.actuator_actnum[u] - 1
+      act = act.at[aadr].set(jnp.clip(act[aadr], m.actuator_actrange[u, 0],
+                                      m.actuator_actrange[u, 1]))
+  return act
+
+
+def _advance(m: Model, d: Data, act_dot: jax.Array, qacc: jax.Array,
+             qvel: jax.Array | None = None) -> Data:
+  """mj_advance (reference forward.py:213): semi-implicit update."""
+  act = _advance_act(m, d, act_dot)
+  qvel_new = d.qvel + qacc * m.opt.timestep if qvel is None else qvel
+  qpos = _integrate_pos(m, d.qpos, qvel_new, m.opt.timestep)
+  return d.replace(act=act, qvel=qvel_new, qpos=qpos,
+                   time=d.time + m.opt.timestep,
+                   qacc_warmstart=d.qacc)
+
+
+@named('euler')
+def euler(m: Model, d: Data) -> Data:
+  """Semi-implicit Euler with implicit-in-velocity joint damping
+  (reference forward.py:327; C mj_Euler)."""
+  qacc = d.qacc
+  # implicit damping: (M + h diag(B)) qacc' = qfrc_smooth + qfrc_constraint
+  if m.has_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
+    mh = d.qM + jnp.diag(m.opt.timestep * m.dof_damping)
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    lh = jax.lax.linalg.cholesky(mh)
+    y = jax.lax.linalg.triangular_solve(lh, qfrc[:, None], left_side=True,
+                                        lower=True)
+    y = jax.lax.linalg.triangular_solve(lh, y, left_side=True, lower=True,
+                                        transpose_a=True)
+    qacc = y[:, 0]
+  return _advance(m, d, d.act_dot, qacc)
+
+
+@named('rungekutta4')
+def rungekutta4(m: Model, d: Data) -> Data:
+  """RK4 (reference forward.py:458; C mj_RungeKutta). 3 extra forward()
+  evaluations, as in the reference."""
+  h = m.opt.timestep
+  a = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
+  b = (1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6)
+  qpos0, qvel0, act0, time0 = d.qpos, d.qvel, d.act, d.time
+
+  fs = [(d.qvel, d.qacc, d.act_dot)]
+  d_i = d
+  for i in range(3):
+    dqvel = sum(a[i][j] * fs[j][1] for j in range(i + 1) if a[i][j])
+    dqpos_vel = sum(a[i][j] * fs[j][0] for j in range(i + 1) if a[i][j])
+    dact = sum(a[i][j] * fs[j][2] for j in range(i + 1) if a[i][j])
+    qpos_i = _integrate_pos(m, qpos0, dqpos_vel, h)
+    d_i = d_i.replace(qpos=qpos_i, qvel=qvel0 + h * dqvel,
+                      act=act0 + h * dact if m.na else act0,
+                      time=time0)
+    d_i = forward(m, d_i)
+    fs.append((d_i.qvel, d_i.qacc, d_i.act_dot))
+
+  vel_b = sum(b[i] * fs[i][0] for i in range(4))
+  acc_b = sum(b[i] * fs[i][1] for i in range(4))
+  actd_b = sum(b[i] * fs[i][2] for i in range(4))
+  qpos = _integrate_pos(m, qpos0, vel_b, h)
+  act = act0 + h * actd_b if m.na else act0
+  qvel = qvel0 + h * acc_b
+  # restore pre-stage dynamics outputs from stage-0 call, advance state
+  d = d_i.replace(qpos=qpos, qvel=qvel, act=act, time=time0 + h,
+                  qacc=acc_b, qacc_warmstart=d.qacc)
+  return d
+
+
+@named('implicitfast')
+def implicit(m: Model, d: Data) -> Data:
+  """implicitfast integrator (reference forward.py:495): analytic
+  d(force)/d(vel) via derivative.py."""
+  from . import derivative
+  qderiv = derivative.deriv_smooth_vel(m, d)
+  mh = d.qM - m.opt.timestep * qderiv
+  # symmetrize: MuJoCo uses (A + A^T)/2 on qDeriv contributions? It
+  # factorizes the asymmetric matrix with LU; we use the symmetric part,
+  # which matches mjx's implicitfast formulation.
+  mh = 0.5 * (mh + mh.T)
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  lh = jax.lax.linalg.cholesky(mh)
+  y = jax.lax.linalg.triangular_solve(lh, qfrc[:, None], left_side=True,
+                                      lower=True)
+  y = jax.lax.linalg.triangular_solve(lh, y, left_side=True, lower=True,
+                                      transpose_a=True)
+  return _advance(m, d, d.act_dot, y[:, 0])
+
+
+@named('step')
+def step(m: Model, d: Data) -> Data:
+  """Forward dynamics + integration (reference forward.py:1004)."""
+  d = forward(m, d)
+  if m.opt.integrator == IntegratorType.EULER:
+    return euler(m, d)
+  elif m.opt.integrator == IntegratorType.RK4:
+    return rungekutta4(m, d)
+  elif m.opt.integrator == IntegratorType.IMPLICITFAST:
+    return implicit(m, d)
+  raise NotImplementedError(f'integrator {m.opt.integrator}')
+
+
+def step1(m: Model, d: Data) -> Data:
+  """Position/velocity stages only, for user ctrl injection between
+  step1/step2 (reference forward.py:1022)."""
+  d = fwd_position(m, d)
+  d = sensor_mod.sensor_pos(m, d)
+  d = fwd_velocity(m, d)
+  d = sensor_mod.sensor_vel(m, d)
+  return d
+
+
+def step2(m: Model, d: Data) -> Data:
+  """Actuation onward + integrate (reference forward.py:1050)."""
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = solver_mod.solve(m, d)
+  d = sensor_mod.sensor_acc(m, d)
+  if m.opt.integrator == IntegratorType.EULER:
+    return euler(m, d)
+  elif m.opt.integrator == IntegratorType.RK4:
+    raise NotImplementedError('step1/step2 split with RK4')
+  return implicit(m, d)

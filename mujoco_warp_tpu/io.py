@@ -67,6 +67,11 @@ def _validate(mjm: mujoco.MjModel):
     raise NotImplementedError('flex not yet supported')
   if mjm.nplugin:
     raise NotImplementedError('plugins not yet supported')
+  from . import sensor as sensor_mod
+  for s in range(mjm.nsensor):
+    if mjm.sensor_type[s] not in sensor_mod.SUPPORTED_SENSORS:
+      raise NotImplementedError(
+          f'sensor type {mjm.sensor_type[s]} not supported')
 
 
 def _body_levels(parentid: np.ndarray) -> tuple[tuple[int, ...], ...]:
@@ -293,6 +298,7 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       collision_pairs=collision_pairs,
       nxn_candidates=nxn_candidates,
       condim_max=condim_max,
+      has_damping=bool(np.any(mjm.dof_damping > 0)),
       opt=opt,
       stat=Statistic(meaninertia=_jp(mjm.stat.meaninertia)),
       qpos0=_jp(mjm.qpos0),

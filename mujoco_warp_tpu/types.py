@@ -309,6 +309,7 @@ _MODEL_META = (
     'collision_pairs',   # tuple of (type1, type2, tuple[(g1, g2, pairid)])
     'nxn_candidates',    # total candidate contact slots (static)
     'condim_max',
+    'has_damping',       # any dof_damping > 0 in the compiled model
 )
 
 
@@ -408,6 +409,7 @@ class Model:
   collision_pairs: Tuple[Any, ...]
   nxn_candidates: int
   condim_max: int
+  has_damping: bool
   # numeric parameters (traced) ---------------------------------------------
   opt: Option
   stat: Statistic
