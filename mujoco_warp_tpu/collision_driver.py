@@ -77,12 +77,17 @@ def collision(m: Model, d: Data) -> Data:
   g1_list, g2_list, condim_list = [], [], []
   for t1, t2, glist in m.collision_pairs:
     fn = collision_primitive.COLLIDERS[(t1, t2)]
+    k = collision_primitive.MAX_CONTACTS[(t1, t2)]
+    g1s = np.array([g for g, _ in glist])
+    g2s = np.array([g for _, g in glist])
+    # one traced collider per type-pair group, vmapped over its pairs
+    dist_k, pos_k, frame_k = jax.vmap(fn)(
+        d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
+        d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s])
+    dists.append(dist_k.reshape(-1))
+    poss.append(pos_k.reshape(-1, 3))
+    frames.append(frame_k.reshape(-1, 3, 3))
     for g1, g2 in glist:
-      dist_k, pos_k, frame_k = fn(m, d, g1, g2)
-      k = dist_k.shape[0]
-      dists.append(dist_k)
-      poss.append(pos_k)
-      frames.append(frame_k)
       g1_list += [g1] * k
       g2_list += [g2] * k
       condim_list += [_static_condim(m, g1, g2)] * k

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from . import collision_driver
 from . import constraint
+from . import linalg
 from . import math
 from . import passive as passive_mod
 from . import sensor as sensor_mod
@@ -231,12 +232,7 @@ def euler(m: Model, d: Data) -> Data:
   if m.has_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
     mh = d.qM + jnp.diag(m.opt.timestep * m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    lh = jax.lax.linalg.cholesky(mh)
-    y = jax.lax.linalg.triangular_solve(lh, qfrc[:, None], left_side=True,
-                                        lower=True)
-    y = jax.lax.linalg.triangular_solve(lh, y, left_side=True, lower=True,
-                                        transpose_a=True)
-    qacc = y[:, 0]
+    qacc = linalg.spd_solve(mh, qfrc)
   return _advance(m, d, d.act_dot, qacc)
 
 
@@ -286,12 +282,7 @@ def implicit(m: Model, d: Data) -> Data:
   # which matches mjx's implicitfast formulation.
   mh = 0.5 * (mh + mh.T)
   qfrc = d.qfrc_smooth + d.qfrc_constraint
-  lh = jax.lax.linalg.cholesky(mh)
-  y = jax.lax.linalg.triangular_solve(lh, qfrc[:, None], left_side=True,
-                                      lower=True)
-  y = jax.lax.linalg.triangular_solve(lh, y, left_side=True, lower=True,
-                                      transpose_a=True)
-  return _advance(m, d, d.act_dot, y[:, 0])
+  return _advance(m, d, d.act_dot, linalg.spd_solve(mh, qfrc))
 
 
 @named('step')

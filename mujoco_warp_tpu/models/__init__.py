@@ -1,0 +1,12 @@
+"""Benchmark scene assets (standard MJCF models)."""
+
+import os
+
+_DIR = os.path.dirname(__file__)
+
+
+def path(name: str) -> str:
+  return os.path.join(_DIR, name if name.endswith('.xml') else name + '.xml')
+
+
+HUMANOID = path('humanoid')

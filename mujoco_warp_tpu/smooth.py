@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import linalg
 from . import math
 from .types import Data, DisableBit, JointType, Model, TrnType
 
@@ -35,75 +36,123 @@ _EINSUM = dict(precision=jax.lax.Precision.HIGHEST)
 
 
 def _normalize_qpos(m: Model, qpos: jax.Array) -> jax.Array:
-  """Normalize ball/free quaternions in qpos (mj_kinematics does this)."""
-  for j in range(m.njnt):
-    jtype = m.jnt_type[j]
-    qadr = m.jnt_qposadr[j]
-    if jtype == JointType.BALL:
-      quat = math.quat_normalize(qpos[qadr:qadr + 4])
-      qpos = qpos.at[qadr:qadr + 4].set(quat)
-    elif jtype == JointType.FREE:
-      quat = math.quat_normalize(qpos[qadr + 3:qadr + 7])
-      qpos = qpos.at[qadr + 3:qadr + 7].set(quat)
-  return qpos
+  """Normalize ball/free quaternions in qpos (mj_kinematics does this),
+  vectorized over all quaternion joints at once."""
+  import numpy as np
+  qadrs = [m.jnt_qposadr[j] + (3 if m.jnt_type[j] == JointType.FREE else 0)
+           for j in range(m.njnt)
+           if m.jnt_type[j] in (JointType.FREE, JointType.BALL)]
+  if not qadrs:
+    return qpos
+  idx = np.asarray(qadrs)[:, None] + np.arange(4)[None, :]
+  quats = jax.vmap(math.quat_normalize)(qpos[idx])
+  return qpos.at[idx.reshape(-1)].set(quats.reshape(-1))
 
 
 def kinematics(m: Model, d: Data) -> Data:
-  """Forward kinematics (reference smooth.py:358; C mj_kinematics)."""
+  """Forward kinematics, level-synchronous: all bodies at one tree depth
+  advance together with per-joint-type masks. The per-level batching
+  replaces the reference's branch-parallel per-chain kernel
+  (smooth.py:44-358) and keeps the traced op count ~O(depth), not
+  O(nbody) — important for XLA compile time and kernel count."""
+  import numpy as np
   qpos = _normalize_qpos(m, d.qpos)
   dtype = qpos.dtype
 
-  xpos = [jnp.zeros(3, dtype)] * m.nbody
-  xquat = [jnp.array([1.0, 0, 0, 0], dtype)] * m.nbody
-  xanchor = [jnp.zeros(3, dtype)] * m.njnt
-  xaxis = [jnp.zeros(3, dtype)] * m.njnt
+  xpos = jnp.zeros((m.nbody, 3), dtype)
+  xquat = jnp.zeros((m.nbody, 4), dtype).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((max(m.njnt, 1), 3), dtype)
+  xaxis = jnp.zeros((max(m.njnt, 1), 3), dtype)
 
-  for b in range(1, m.nbody):
-    pid = m.body_parentid[b]
-    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
-    if jnum == 1 and m.jnt_type[jadr] == JointType.FREE:
-      qadr = m.jnt_qposadr[jadr]
-      xp = qpos[qadr:qadr + 3]
-      xq = qpos[qadr + 3:qadr + 7]
-      # MuJoCo leaves free-joint anchor/axis in joint-local convention
-      xanchor[jadr] = xp
-      xaxis[jadr] = m.jnt_axis[jadr]
-    else:
-      xq = math.mul_quat(xquat[pid], m.body_quat[b])
-      xp = xpos[pid] + math.rot_vec_quat(m.body_pos[b], xquat[pid])
-      if jnum == 0 and m.body_mocapid[b] >= 0:
-        mid = m.body_mocapid[b]
-        xp = d.mocap_pos[mid]
-        xq = math.quat_normalize(d.mocap_quat[mid])
-      for k in range(jnum):
-        j = jadr + k
-        qadr = m.jnt_qposadr[j]
-        jtype = m.jnt_type[j]
-        anchor = xp + math.rot_vec_quat(m.jnt_pos[j], xq)
-        axis = math.rot_vec_quat(m.jnt_axis[j], xq)
-        xanchor[j] = anchor
-        xaxis[j] = axis
-        if jtype == JointType.SLIDE:
-          xp = xp + axis * (qpos[qadr] - m.qpos0[qadr])
-        elif jtype == JointType.BALL:
-          qloc = qpos[qadr:qadr + 4]
-          xq = math.mul_quat(xq, qloc)
-          xp = anchor - math.rot_vec_quat(m.jnt_pos[j], xq)
-        elif jtype == JointType.HINGE:
-          qloc = math.axis_angle_to_quat(
-              m.jnt_axis[j], qpos[qadr] - m.qpos0[qadr])
-          xq = math.mul_quat(xq, qloc)
-          xp = anchor - math.rot_vec_quat(m.jnt_pos[j], xq)
-        else:
-          raise NotImplementedError(f'joint type {jtype}')
-    xq = math.quat_normalize(xq)
-    xpos[b], xquat[b] = xp, xq
+  jnt_type = np.asarray(m.jnt_type)
+  jnt_qposadr = np.asarray(m.jnt_qposadr)
 
-  xpos = jnp.stack(xpos)
-  xquat = jnp.stack(xquat)
+  for level in m.body_levels:
+    B = np.asarray(level)
+    pids = np.asarray([m.body_parentid[b] for b in level])
+    jadr = np.asarray([m.body_jntadr[b] for b in level])
+    jnum = np.asarray([m.body_jntnum[b] for b in level])
+    nb = len(B)
+
+    pq = xquat[pids]
+    xq = jax.vmap(math.mul_quat)(pq, m.body_quat[B])
+    xp = xpos[pids] + jax.vmap(math.rot_vec_quat)(m.body_pos[B], pq)
+
+    # mocap bodies (jointless): override from mocap state
+    mocapids = np.asarray([m.body_mocapid[b] for b in level])
+    if (mocapids >= 0).any():
+      mids = np.where(mocapids >= 0, mocapids, 0)
+      is_mocap = jnp.asarray((mocapids >= 0) & (jnum == 0))[:, None]
+      xp = jnp.where(is_mocap, d.mocap_pos[mids], xp)
+      xq = jnp.where(is_mocap, jax.vmap(math.quat_normalize)(
+          d.mocap_quat[mids]), xq)
+
+    # free joints: pose straight from qpos
+    is_free = np.asarray([
+        jnum[i] == 1 and jnt_type[jadr[i]] == JointType.FREE
+        for i in range(nb)])
+    if is_free.any():
+      qadr = np.where(is_free, jnt_qposadr[jadr], 0)
+      fidx = qadr[:, None] + np.arange(7)[None, :]
+      q7 = qpos[fidx]
+      mfree = jnp.asarray(is_free)[:, None]
+      xp = jnp.where(mfree, q7[:, :3], xp)
+      xq = jnp.where(mfree, q7[:, 3:], xq)
+      # free-joint anchor/axis convention: xanchor = xpos, xaxis = local
+      jidx = np.where(is_free, jadr, m.njnt)  # drop where not free
+      xanchor = xanchor.at[jidx].set(q7[:, :3], mode='drop')
+      xaxis = xaxis.at[jidx].set(m.jnt_axis[np.where(is_free, jadr, 0)],
+                                 mode='drop')
+
+    # non-free joints, one slot at a time (bodies with multiple joints
+    # apply them sequentially, as in C MuJoCo)
+    for k in range(int(jnum.max()) if nb else 0):
+      has = (jnum > k) & ~is_free
+      if not has.any():
+        continue
+      jids = np.where(has, jadr + k, 0)
+      jt = jnt_type[jids]
+      qadr = jnt_qposadr[jids]
+      is_slide = jnp.asarray(has & (jt == JointType.SLIDE))
+      is_ball = jnp.asarray(has & (jt == JointType.BALL))
+      is_hinge = jnp.asarray(has & (jt == JointType.HINGE))
+      mhas = jnp.asarray(has)
+
+      jpos = m.jnt_pos[jids]
+      jaxis_loc = m.jnt_axis[jids]
+      anchor = xp + jax.vmap(math.rot_vec_quat)(jpos, xq)
+      axis = jax.vmap(math.rot_vec_quat)(jaxis_loc, xq)
+
+      # scalar joint coordinate (slide/hinge)
+      qs = qpos[qadr] - m.qpos0[qadr]
+      # ball quaternion
+      bidx = qadr[:, None] + np.arange(4)[None, :]
+      qball = qpos[bidx]
+      qhinge = jax.vmap(math.axis_angle_to_quat)(jaxis_loc, qs)
+      qloc = jnp.where(is_ball[:, None], qball,
+                       jnp.where(is_hinge[:, None], qhinge,
+                                 jnp.zeros_like(qball).at[:, 0].set(1.0)))
+      xq_rot = jax.vmap(math.mul_quat)(xq, qloc)
+      rot = is_ball | is_hinge
+      xq = jnp.where(rot[:, None], xq_rot, xq)
+      xp_rot = anchor - jax.vmap(math.rot_vec_quat)(jpos, xq)
+      xp_slide = xp + axis * qs[:, None]
+      xp = jnp.where(rot[:, None], xp_rot,
+                     jnp.where(is_slide[:, None], xp_slide, xp))
+
+      sidx = np.where(has, jids, m.njnt)
+      xanchor = xanchor.at[sidx].set(
+          jnp.where(mhas[:, None], anchor, 0.0), mode='drop')
+      xaxis = xaxis.at[sidx].set(
+          jnp.where(mhas[:, None], axis, 0.0), mode='drop')
+
+    xq = jax.vmap(math.quat_normalize)(xq)
+    xpos = xpos.at[B].set(xp)
+    xquat = xquat.at[B].set(xq)
+
   xmat = jax.vmap(math.quat_to_mat)(xquat)
-  xanchor = jnp.stack(xanchor) if m.njnt else jnp.zeros((0, 3), dtype)
-  xaxis = jnp.stack(xaxis) if m.njnt else jnp.zeros((0, 3), dtype)
+  xanchor = xanchor[:m.njnt]
+  xaxis = xaxis[:m.njnt]
 
   # inertial, geom, site frames: pure gathers + batched quaternion math
   iquat = jax.vmap(math.mul_quat)(xquat, m.body_iquat)
@@ -223,16 +272,12 @@ def crb(m: Model, d: Data) -> Data:
 def factor_m(m: Model, d: Data) -> Data:
   """Dense Cholesky of qM (reference uses tiled wp.tile_cholesky /
   level-scheduled sparse LDL, smooth.py:1017-1104)."""
-  return d.replace(qLD=jax.lax.linalg.cholesky(d.qM))
+  return d.replace(qLD=linalg.cholesky(d.qM))
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   """qM^-1 x via the cached Cholesky factor (reference smooth.py:2848)."""
-  y = jax.lax.linalg.triangular_solve(
-      d.qLD, x[:, None], left_side=True, lower=True)
-  y = jax.lax.linalg.triangular_solve(
-      d.qLD, y, left_side=True, lower=True, transpose_a=True)
-  return y[:, 0]
+  return linalg.cho_solve(d.qLD, x)
 
 
 def com_vel(m: Model, d: Data) -> Data:

@@ -22,6 +22,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from . import linalg
 from . import smooth
 from .types import ConstraintType, Data, DisableBit, Model, SolverType
 
@@ -101,12 +102,7 @@ def _update_gradient(m: Model, d: Data, ctx_grad_inputs):
     # H = M + J^T diag(Dh) J — the hot kernel (reference solver.py:2368)
     jd = d.efc_J * dh[:, None]
     h = d.qM + jnp.einsum('jn,jk->nk', jd, d.efc_J, **_EINSUM)
-    lh = jax.lax.linalg.cholesky(h)
-    y = jax.lax.linalg.triangular_solve(lh, grad[:, None], left_side=True,
-                                        lower=True)
-    y = jax.lax.linalg.triangular_solve(lh, y, left_side=True, lower=True,
-                                        transpose_a=True)
-    mgrad = y[:, 0]
+    mgrad = linalg.spd_solve(h, grad)
   else:
     mgrad = smooth.solve_m(m, d, grad)
   return grad, mgrad
