@@ -36,7 +36,7 @@ def main():
   mesh = parallel.make_mesh()
   batch = parallel.shard_batch(batch, mesh)
 
-  metrics = benchmark(mjwt.step, m, batch, nstep=nstep)
+  metrics = benchmark(None, m, batch, nstep=nstep)  # None = step_batched
   value = metrics['steps_per_sec']
   result = {
       'metric': 'humanoid_steps_per_sec',

@@ -31,12 +31,24 @@ from .types import (
     Option,
     SensorType,
     SolverType,
+    State,
     Statistic,
     TrnType,
+)
+from .inverse import inverse
+from .support import (
+    contact_force,
+    get_state,
+    jac,
+    mul_m,
+    set_state,
+    state_size,
+    xfrc_accumulate,
 )
 from .forward import (
     euler,
     forward,
+    forward_batched,
     fwd_acceleration,
     fwd_actuation,
     fwd_position,
@@ -46,6 +58,7 @@ from .forward import (
     step,
     step1,
     step2,
+    step_batched,
 )
 from .solver import solve
 from .collision_driver import collision

@@ -103,32 +103,38 @@ def collision(m: Model, d: Data) -> Data:
   # inclusion rule: dist < margin (C mj_collision)
   active = dist < margin
   ncollision = jnp.sum(active.astype(jnp.int32))
-  # stream compaction: prefix-sum slot assignment, drop on overflow
-  slot = jnp.cumsum(active.astype(jnp.int32)) - 1
-  slot = jnp.where(active & (slot < nconmax), slot, nconmax)  # drop idx
+  ncand = dist.shape[0]
+  # compaction by top_k GATHER (TPU scatters serialize; gathers don't):
+  # active candidates keep original order, inactive sort to the back
+  idx_r = jnp.arange(ncand, dtype=jnp.int32)
+  key = jnp.where(active, ncand - idx_r, -idx_r)
+  _, sel = jax.lax.top_k(key, min(nconmax, ncand))
+  sel_active = active[sel]
   ncon = jnp.minimum(ncollision, nconmax)
 
-  def scatter(init, vals):
-    return init.at[slot].set(vals, mode='drop')
+  def take(vals, fill):
+    out = jnp.where(
+        sel_active.reshape((-1,) + (1,) * (vals.ndim - 1)),
+        vals[sel], fill)
+    if out.shape[0] < nconmax:  # pad up to pool size
+      pad = jnp.broadcast_to(fill, (nconmax - out.shape[0],) + out.shape[1:])
+      out = jnp.concatenate([out, pad], axis=0)
+    return out
 
-  big = jnp.full((dist.shape[0],), 1e10, dtype)
+  g12 = jnp.stack([jnp.asarray(g1s, jnp.int32),
+                   jnp.asarray(g2s, jnp.int32)], axis=1)
   new_con = con.replace(
-      dist=scatter(jnp.full_like(con.dist, 1e10), dist),
-      pos=scatter(jnp.zeros_like(con.pos), pos),
-      frame=scatter(jnp.zeros_like(con.frame), frame),
-      includemargin=scatter(jnp.zeros_like(con.includemargin),
-                            includemargin),
-      friction=scatter(jnp.ones_like(con.friction), friction),
-      solref=scatter(jnp.full_like(con.solref, 0.02), solref),
-      solreffriction=scatter(jnp.zeros_like(con.solreffriction),
-                             solreffriction),
-      solimp=scatter(jnp.full_like(con.solimp, 0.9), solimp),
-      dim=scatter(jnp.ones_like(con.dim), condim),
-      geom=scatter(-jnp.ones_like(con.geom),
-                   jnp.stack([jnp.asarray(g1s, jnp.int32),
-                              jnp.asarray(g2s, jnp.int32)], axis=1)),
+      dist=take(dist, jnp.full((), 1e10, dtype)),
+      pos=take(pos, jnp.zeros(3, dtype)),
+      frame=take(frame, jnp.zeros((3, 3), dtype)),
+      includemargin=take(includemargin, jnp.zeros((), dtype)),
+      friction=take(friction, jnp.ones(5, dtype)),
+      solref=take(solref, jnp.full(2, 0.02, dtype)),
+      solreffriction=take(solreffriction, jnp.zeros(2, dtype)),
+      solimp=take(solimp, jnp.full(5, 0.9, dtype)),
+      dim=take(condim, jnp.ones((), jnp.int32)),
+      geom=take(g12, -jnp.ones(2, jnp.int32)),
   )
-  del big
   return d.replace(contact=new_con, ncon=ncon, ncollision=ncollision)
 
 

@@ -31,13 +31,14 @@ _EINSUM = dict(precision=jax.lax.Precision.HIGHEST)
 
 def _kbi(m: Model, solref, solimp, pos_imp):
   """Stiffness/damping/impedance from solver parameters
-  (reference constraint.py:_efc_row; mj_assignRef/mj_getImpedance)."""
-  timeconst, dampratio = solref[0], solref[1]
-  dmin = jnp.clip(solimp[0], _MINIMP, _MAXIMP)
-  dmax = jnp.clip(solimp[1], _MINIMP, _MAXIMP)
-  width = jnp.maximum(solimp[2], _MINVAL)
-  mid = jnp.clip(solimp[3], _MINIMP, _MAXIMP)
-  power = jnp.maximum(solimp[4], 1.0)
+  (reference constraint.py:_efc_row; mj_assignRef/mj_getImpedance).
+  Batch-generic: solref (..., 2), solimp (..., 5), pos_imp (...)."""
+  timeconst, dampratio = solref[..., 0], solref[..., 1]
+  dmin = jnp.clip(solimp[..., 0], _MINIMP, _MAXIMP)
+  dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
+  width = jnp.maximum(solimp[..., 2], _MINVAL)
+  mid = jnp.clip(solimp[..., 3], _MINIMP, _MAXIMP)
+  power = jnp.maximum(solimp[..., 4], 1.0)
 
   if not m.opt.disableflags & DisableBit.REFSAFE:
     timeconst = jnp.maximum(timeconst, 2.0 * m.opt.timestep)
@@ -46,8 +47,8 @@ def _kbi(m: Model, solref, solimp, pos_imp):
   k = 1.0 / jnp.maximum(dmax_sq * timeconst * timeconst * dampratio *
                         dampratio, _MINVAL)
   b = 2.0 / jnp.maximum(dmax * timeconst, _MINVAL)
-  k = jnp.where(solref[0] <= 0, -solref[0] / dmax_sq, k)
-  b = jnp.where(solref[1] <= 0, -solref[1] / dmax, b)
+  k = jnp.where(solref[..., 0] <= 0, -solref[..., 0] / dmax_sq, k)
+  b = jnp.where(solref[..., 1] <= 0, -solref[..., 1] / dmax, b)
 
   imp_x = jnp.abs(pos_imp) / width
   imp_a = (1.0 / mid ** (power - 1)) * imp_x ** power
@@ -61,23 +62,40 @@ def _kbi(m: Model, solref, solimp, pos_imp):
 
 def _row(m: Model, J, pos_aref, pos_imp, invweight, solref, solimp, margin,
          vel, frictionloss, ctype, cid, active):
-  """Finish one efc row; inactive rows get D = 0."""
+  """Finish one efc row (or a batch of rows — all args broadcast over a
+  leading axis); inactive rows get D = 0."""
   k, b, imp = _kbi(m, solref, solimp, pos_imp)
   d_val = 1.0 / jnp.maximum(invweight * (1.0 - imp) / imp, _MINVAL)
   aref = -k * imp * pos_aref - b * vel
   act = jnp.asarray(active, jnp.float32)
+  batch = J.shape[:-1]
   return dict(
-      J=J, pos=pos_aref + margin, margin=margin, D=d_val * act,
-      vel=vel, aref=aref * act, frictionloss=frictionloss * act,
-      type=jnp.full((), ctype, jnp.int32), id=jnp.full((), cid, jnp.int32),
-      active=jnp.asarray(active, bool))
+      J=J, pos=jnp.broadcast_to(pos_aref + margin, batch),
+      margin=jnp.broadcast_to(jnp.asarray(margin, J.dtype), batch),
+      D=jnp.broadcast_to(d_val * act, batch),
+      vel=jnp.broadcast_to(vel, batch),
+      aref=jnp.broadcast_to(aref * act, batch),
+      frictionloss=jnp.broadcast_to(
+          jnp.asarray(frictionloss, J.dtype) * act, batch),
+      type=jnp.broadcast_to(jnp.asarray(ctype, jnp.int32), batch),
+      id=jnp.broadcast_to(jnp.asarray(cid, jnp.int32), batch),
+      active=jnp.broadcast_to(jnp.asarray(active, bool), batch))
 
 
 def _stack(rows, nv, dtype):
+  """Concatenate row groups; each entry holds one row (scalar fields) or
+  a batch of rows (leading axis)."""
   out = {}
   for key in ('J', 'pos', 'margin', 'D', 'vel', 'aref', 'frictionloss',
               'type', 'id', 'active'):
-    out[key] = jnp.stack([r[key] for r in rows])
+    parts = []
+    for r in rows:
+      v = r[key]
+      want_nd = 2 if key == 'J' else 1
+      if v.ndim < want_nd:
+        v = v[None]
+      parts.append(v)
+    out[key] = jnp.concatenate(parts, axis=0)
   return out
 
 
@@ -153,6 +171,25 @@ def make_constraint(m: Model, d: Data) -> Data:
         rows.append(_row(m, jdifr[r], crot[r], pos_imp, invweight_r,
                          solref, solimp, 0.0, velr[r], 0.0,
                          ConstraintType.EQUALITY, i, active))
+    elif etype == EqType.TENDON:
+      t1, t2 = m.eq_obj1id[i], m.eq_obj2id[i]
+      J = d.ten_J[t1]
+      L1 = d.ten_length[t1]
+      if t2 > -1:
+        dif = d.ten_length[t2] - m.tendon_length0[t2]
+        rhs = data[0] + dif * (data[1] + dif * (
+            data[2] + dif * (data[3] + dif * data[4])))
+        deriv = data[1] + dif * (2 * data[2] + dif * (
+            3 * data[3] + dif * 4 * data[4]))
+        pos = L1 - m.tendon_length0[t1] - rhs
+        J = J - deriv * d.ten_J[t2]
+        invweight = m.tendon_invweight0[t1] + m.tendon_invweight0[t2]
+      else:
+        pos = L1 - m.tendon_length0[t1] - data[0]
+        invweight = m.tendon_invweight0[t1]
+      vel = J @ d.qvel
+      rows.append(_row(m, J, pos, pos, invweight, solref, solimp, 0.0,
+                       vel, 0.0, ConstraintType.EQUALITY, i, active))
     elif etype == EqType.JOINT:
       j1, j2 = m.eq_obj1id[i], m.eq_obj2id[i]
       d1, q1 = m.jnt_dofadr[j1], m.jnt_qposadr[j1]
@@ -176,21 +213,58 @@ def make_constraint(m: Model, d: Data) -> Data:
                        vel, 0.0, ConstraintType.EQUALITY, i, active))
     else:
       raise NotImplementedError(f'equality type {etype}')
-  assert sum(1 for _ in rows) == ne
+  def _nrows(rs):
+    return sum(r['J'].shape[0] if r['J'].ndim > 1 else 1 for r in rs)
 
-  # --- dof friction ---------------------------------------------------------
+  assert _nrows(rows) == ne, (_nrows(rows), ne)
+
+  # --- dof friction (vectorized group) ---------------------------------------
   fr_disabled = bool(m.opt.disableflags & DisableBit.FRICTIONLOSS)
-  for dofid in range(nv):
-    if not m.dof_hasfrictionloss[dofid]:
+  fr_ids = [i for i in range(nv) if m.dof_hasfrictionloss[i]]
+  if fr_ids:
+    ids = np.asarray(fr_ids)
+    onehot = jnp.asarray(np.eye(nv, dtype=np.float32)[ids], dtype)
+    k = len(fr_ids)
+    rows.append(_row(
+        m, onehot, jnp.zeros(k, dtype), jnp.zeros(k, dtype),
+        m.dof_invweight0[ids], m.dof_solref[ids], m.dof_solimp[ids],
+        jnp.zeros(k, dtype), d.qvel[ids], m.dof_frictionloss[ids],
+        ConstraintType.FRICTION_DOF, jnp.asarray(ids, jnp.int32),
+        jnp.full(k, not fr_disabled, bool)))
+
+  # --- tendon friction --------------------------------------------------------
+  for t in range(m.ntendon):
+    if not m.tendon_hasfrictionloss[t]:
       continue
-    J = jnp.zeros(nv, dtype).at[dofid].set(1.0)
-    rows.append(_row(m, J, 0.0, 0.0, m.dof_invweight0[dofid],
-                     m.dof_solref[dofid], m.dof_solimp[dofid], 0.0,
-                     d.qvel[dofid], m.dof_frictionloss[dofid],
-                     ConstraintType.FRICTION_DOF, dofid, not fr_disabled))
+    rows.append(_row(m, d.ten_J[t], 0.0, 0.0, m.tendon_invweight0[t],
+                     m.tendon_solref_fri[t], m.tendon_solimp_fri[t], 0.0,
+                     d.ten_velocity[t], m.tendon_frictionloss[t],
+                     ConstraintType.FRICTION_TENDON, t, not fr_disabled))
 
   # --- joint limits ----------------------------------------------------------
+  # slide/hinge limits as one vectorized group; ball limits per joint
   lim_disabled = bool(m.opt.disableflags & DisableBit.LIMIT)
+  sh_ids = [j for j in range(m.njnt) if m.jnt_limited[j] and
+            m.jnt_type[j] in (JointType.SLIDE, JointType.HINGE)]
+  if sh_ids:
+    jids = np.asarray(sh_ids)
+    qadr = np.asarray(m.jnt_qposadr)[jids]
+    dadr = np.asarray(m.jnt_dofadr)[jids]
+    jrange = m.jnt_range[jids]
+    jmargin = m.jnt_margin[jids]
+    q = d.qpos[qadr]
+    dist_min = q - jrange[:, 0]
+    dist_max = jrange[:, 1] - q
+    pos = jnp.minimum(dist_min, dist_max) - jmargin
+    active = (pos < 0) & (not lim_disabled)
+    sign = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
+    onehot = jnp.asarray(
+        np.eye(nv, dtype=np.float32)[dadr], dtype) * sign[:, None]
+    rows.append(_row(m, onehot, pos, pos, m.dof_invweight0[dadr],
+                     m.jnt_solref[jids], m.jnt_solimp[jids], jmargin,
+                     sign * d.qvel[dadr], jnp.zeros(len(sh_ids), dtype),
+                     ConstraintType.LIMIT_JOINT,
+                     jnp.asarray(jids, jnp.int32), active))
   for j in range(m.njnt):
     if not m.jnt_limited[j]:
       continue
@@ -198,16 +272,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
     jrange, jmargin = m.jnt_range[j], m.jnt_margin[j]
     if jtype in (JointType.SLIDE, JointType.HINGE):
-      dist_min = d.qpos[qadr] - jrange[0]
-      dist_max = jrange[1] - d.qpos[qadr]
-      pos = jnp.minimum(dist_min, dist_max) - jmargin
-      active = (pos < 0) & (not lim_disabled)
-      sign = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
-      J = jnp.zeros(nv, dtype).at[dadr].set(sign)
-      rows.append(_row(m, J, pos, pos, m.dof_invweight0[dadr],
-                       m.jnt_solref[j], m.jnt_solimp[j], jmargin,
-                       sign * d.qvel[dadr], 0.0,
-                       ConstraintType.LIMIT_JOINT, j, active))
+      pass  # handled by the vectorized group above
     elif jtype == JointType.BALL:
       quat = math.quat_normalize(d.qpos[qadr:qadr + 4])
       axis_angle = math.quat_to_vel(quat)
@@ -222,15 +287,28 @@ def make_constraint(m: Model, d: Data) -> Data:
     else:
       raise NotImplementedError(f'limit on joint type {jtype}')
 
+  # --- tendon limits ----------------------------------------------------------
+  for t in range(m.ntendon):
+    if not m.tendon_limited[t]:
+      continue
+    trange, tmargin = m.tendon_range[t], m.tendon_margin[t]
+    L = d.ten_length[t]
+    dist_min = L - trange[0]
+    dist_max = trange[1] - L
+    pos = jnp.minimum(dist_min, dist_max) - tmargin
+    active = (pos < 0) & (not lim_disabled)
+    sign = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
+    J = sign * d.ten_J[t]
+    rows.append(_row(m, J, pos, pos, m.tendon_invweight0[t],
+                     m.tendon_solref_lim[t], m.tendon_solimp_lim[t],
+                     tmargin, sign * d.ten_velocity[t], 0.0,
+                     ConstraintType.LIMIT_TENDON, t, active))
+
   static = _stack(rows, nv, dtype) if rows else None
 
-  # --- contacts (vmapped over the pool) --------------------------------------
+  # --- contacts (fully vectorized over pool x pyramid rows) ------------------
   if nconmax and stride:
-    con_rows = jax.vmap(lambda i: _contact_rows(m, d, i, stride))(
-        jnp.arange(nconmax))
-    # (nconmax, stride, ...) -> (nconmax*stride, ...)
-    con_rows = jax.tree_util.tree_map(
-        lambda x: x.reshape((nconmax * stride,) + x.shape[2:]), con_rows)
+    con_rows = _contact_rows_all(m, d, stride)
   else:
     con_rows = None
 
@@ -241,6 +319,13 @@ def make_constraint(m: Model, d: Data) -> Data:
     if con_rows is not None:
       parts.append(con_rows[key])
     return jnp.concatenate(parts, axis=0)
+
+  if nconmax and stride:
+    efc_address = (ne + nf + nl + stride * jnp.arange(
+        nconmax, dtype=jnp.int32))
+    valid = d.contact.geom[:, 0] >= 0
+    d = d.replace(contact=d.contact.replace(
+        efc_address=jnp.where(valid, efc_address, -1)))
 
   efc_active = cat('active')
   efc_D = cat('D')
@@ -260,61 +345,76 @@ def make_constraint(m: Model, d: Data) -> Data:
       nefc=jnp.sum(efc_active.astype(jnp.int32)))
 
 
-def _contact_rows(m: Model, d: Data, i, stride: int):
-  """efc rows for contact slot i (traced); vmapped over the pool
-  (reference constraint.py:1669 _contact_pyramidal)."""
+def _contact_rows_all(m: Model, d: Data, stride: int):
+  """All pyramidal contact efc rows in one vectorized pass
+  (reference constraint.py:1669 _contact_pyramidal): (nconmax * stride)
+  rows, ~25 fused ops total instead of per-slot/per-row loops."""
   nv = m.nv
   dtype = d.qpos.dtype
   con = d.contact
+  C = con.dist.shape[0]
   geom_bodyid = jnp.asarray(m.geom_bodyid)
-  g1 = con.geom[i, 0]
-  g2 = con.geom[i, 1]
+  g1 = con.geom[:, 0]
+  g2 = con.geom[:, 1]
   valid = g1 >= 0
-  b1 = jnp.where(valid, geom_bodyid[g1], 0)
-  b2 = jnp.where(valid, geom_bodyid[g2], 0)
-  dim = con.dim[i]
-  dist = con.dist[i]
-  includemargin = con.includemargin[i]
-  pos = dist - includemargin
+  b1 = jnp.where(valid, geom_bodyid[jnp.maximum(g1, 0)], 0)
+  b2 = jnp.where(valid, geom_bodyid[jnp.maximum(g2, 0)], 0)
+  dim = con.dim                                     # (C,)
+  pos = con.dist - con.includemargin                # (C,)
   active_con = (pos < 0) & valid
 
-  frame = con.frame[i]
-  cpos = con.pos[i]
-  jacp1, jacr1 = support.jac_dyn(m, d, cpos, b1)
-  jacp2, jacr2 = support.jac_dyn(m, d, cpos, b2)
-  jacp = jacp2 - jacp1  # (3, nv)
+  frame = con.frame                                 # (C, 3, 3)
+  cpos = con.pos                                    # (C, 3)
+  jac_v = jax.vmap(support.jac_dyn, in_axes=(None, None, 0, 0))
+  jacp1, jacr1 = jac_v(m, d, cpos, b1)              # (C, 3, nv)
+  jacp2, jacr2 = jac_v(m, d, cpos, b2)
+  jacp = jacp2 - jacp1
   jacr = jacr2 - jacr1
-  jn = frame[0] @ jacp  # (nv,)
-  # friction direction rows: tangents (jacp), torsion+rolling (jacr)
-  jdirs = jnp.stack([frame[1] @ jacp, frame[2] @ jacp, frame[0] @ jacr,
-                     frame[1] @ jacr, frame[2] @ jacr])  # (5, nv)
+  jn = jnp.einsum('ci,cin->cn', frame[:, 0], jacp, **_EINSUM)  # (C, nv)
+  jdirs = jnp.stack([
+      jnp.einsum('ci,cin->cn', frame[:, 1], jacp, **_EINSUM),
+      jnp.einsum('ci,cin->cn', frame[:, 2], jacp, **_EINSUM),
+      jnp.einsum('ci,cin->cn', frame[:, 0], jacr, **_EINSUM),
+      jnp.einsum('ci,cin->cn', frame[:, 1], jacr, **_EINSUM),
+      jnp.einsum('ci,cin->cn', frame[:, 2], jacr, **_EINSUM),
+  ], axis=1)                                        # (C, 5, nv)
 
-  invweight0 = jnp.asarray(m.body_invweight0)  # may be traced already
-  invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-  friction = con.friction[i]
-  fri0 = friction[0]
+  invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]   # (C,)
+  friction = con.friction                           # (C, 5)
+  fri0 = friction[:, 0]
   impratio_invsqrt = 1.0 / jnp.sqrt(jnp.maximum(m.opt.impratio, _MINVAL))
   invw_pyr = (invw + fri0 * fri0 * invw) * 2.0 * fri0 * fri0 * (
       impratio_invsqrt * impratio_invsqrt)
 
-  out = []
-  for r in range(stride):
-    k = r // 2 + 1  # friction dim index for this pyramid edge
-    is_frictionless_row = (dim == 1) & (r == 0)
-    pyr_exists = (dim > 1) & (r < 2 * (dim - 1))
-    exists = active_con & (is_frictionless_row | pyr_exists)
-    frii = friction[k - 1]
-    sign = 1.0 if r % 2 == 0 else -1.0
-    j_pyr = jn + sign * frii * jdirs[k - 1]
-    J = jnp.where(is_frictionless_row, jn, j_pyr)
-    iw = jnp.where(dim == 1, invw, invw_pyr)
-    vel = J @ d.qvel
-    ctype = jnp.where(dim == 1, ConstraintType.CONTACT_FRICTIONLESS,
-                      ConstraintType.CONTACT_PYRAMIDAL).astype(jnp.int32)
-    row = _row(m, J, pos, pos, iw, con.solref[i], con.solimp[i],
-               includemargin, vel, 0.0, 0, i, exists)
-    row['type'] = ctype
-    out.append(row)
-  del invweight0
-  # stack rows -> (stride, ...)
-  return {key: jnp.stack([r[key] for r in out]) for key in out[0]}
+  import numpy as np
+  r = np.arange(stride)
+  kidx = r // 2 + 1                                  # friction dim index
+  sign = jnp.asarray(np.where(r % 2 == 0, 1.0, -1.0), dtype)   # (S,)
+  # exists masks: (C, S)
+  is_fl_row = (dim[:, None] == 1) & jnp.asarray(r == 0)[None, :]
+  pyr_exists = (dim[:, None] > 1) & (
+      jnp.asarray(r)[None, :] < 2 * (dim[:, None] - 1))
+  exists = active_con[:, None] & (is_fl_row | pyr_exists)
+
+  frii = friction[:, kidx - 1]                       # (C, S)
+  j_pyr = jn[:, None, :] + (sign[None, :, None] * frii[..., None] *
+                            jdirs[:, kidx - 1, :])  # (C, S, nv)
+  J = jnp.where(is_fl_row[..., None], jn[:, None, :], j_pyr)
+  iw = jnp.broadcast_to(
+      jnp.where(dim[:, None] == 1, invw[:, None], invw_pyr[:, None]),
+      (C, stride))                                   # (C, S)
+  vel = jnp.einsum('csn,n->cs', J, d.qvel, **_EINSUM)
+  ctype = jnp.where(dim == 1, ConstraintType.CONTACT_FRICTIONLESS,
+                    ConstraintType.CONTACT_PYRAMIDAL).astype(jnp.int32)
+
+  S = stride
+  flat = lambda x: x.reshape((C * S,) + x.shape[2:])
+  rep = lambda x: jnp.broadcast_to(x[:, None], (C, S)).reshape(C * S)
+  rows = _row(
+      m, flat(J), rep(pos), rep(pos), flat(iw),
+      jnp.broadcast_to(con.solref[:, None, :], (C, S, 2)).reshape(C * S, 2),
+      jnp.broadcast_to(con.solimp[:, None, :], (C, S, 5)).reshape(C * S, 5),
+      rep(con.includemargin), flat(vel), jnp.zeros(C * S, dtype),
+      0, rep(jnp.arange(C, dtype=jnp.int32)), flat(exists))
+  rows['type'] = rep(ctype)
+  return rows

@@ -16,6 +16,7 @@ from . import collision_driver
 from . import constraint
 from . import linalg
 from . import math
+from . import muscle as muscle_mod
 from . import passive as passive_mod
 from . import sensor as sensor_mod
 from . import smooth
@@ -39,13 +40,17 @@ def named(name):
 
 
 @named('fwd_position')
-def fwd_position(m: Model, d: Data) -> Data:
-  """Position-dependent computations (reference forward.py:514)."""
+def fwd_position(m: Model, d: Data, factorize: bool = True) -> Data:
+  """Position-dependent computations (reference forward.py:514).
+  factorize=False defers the mass-matrix factorization to the batched
+  fused factor+solve in _fwd_acceleration_batched."""
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
   d = smooth.camlight(m, d)
+  d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
-  d = smooth.factor_m(m, d)
+  if factorize:
+    d = smooth.factor_m(m, d)
   if m.opt.run_collision_detection:
     d = collision_driver.collision(m, d)
   d = constraint.make_constraint(m, d)
@@ -60,6 +65,9 @@ def fwd_velocity(m: Model, d: Data) -> Data:
     actuator_velocity = jnp.einsum('un,n->u', d.actuator_moment, d.qvel,
                                    **_EINSUM)
     d = d.replace(actuator_velocity=actuator_velocity)
+  if m.ntendon:
+    d = d.replace(ten_velocity=jnp.einsum('tn,n->t', d.ten_J, d.qvel,
+                                          **_EINSUM))
   d = smooth.com_vel(m, d)
   d = passive_mod.passive(m, d)
   d = smooth.rne(m, d)
@@ -95,6 +103,9 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     elif dyntype in (DynType.FILTER, DynType.FILTEREXACT):
       tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
       act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
+    elif dyntype == DynType.MUSCLE:
+      act_dot = act_dot.at[aadr].set(muscle_mod.muscle_dynamics(
+          ctrl[u], d.act[aadr], m.actuator_dynprm[u]))
     else:
       raise NotImplementedError(f'dyntype {dyntype}')
 
@@ -116,12 +127,19 @@ def fwd_actuation(m: Model, d: Data) -> Data:
       gain = gp[0]
     elif gaintype == GainType.AFFINE:
       gain = gp[0] + gp[1] * length + gp[2] * velocity
+    elif gaintype == GainType.MUSCLE:
+      gain = muscle_mod.muscle_gain(length, velocity,
+                                    m.actuator_lengthrange[u],
+                                    m.actuator_acc0[u], gp)
     else:
       raise NotImplementedError(f'gaintype {gaintype}')
     if biastype == BiasType.NONE:
       bias = jnp.zeros((), dtype)
     elif biastype == BiasType.AFFINE:
       bias = bp[0] + bp[1] * length + bp[2] * velocity
+    elif biastype == BiasType.MUSCLE:
+      bias = muscle_mod.muscle_bias(length, m.actuator_lengthrange[u],
+                                    m.actuator_acc0[u], bp)
     else:
       raise NotImplementedError(f'biastype {biastype}')
     forces.append(gain * inp + bias)
@@ -156,6 +174,18 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 
+@named('fwd_acceleration')
+def _fwd_acceleration_batched(m: Model, d: Data) -> Data:
+  """Batch-native acceleration: factor + solve in one Pallas kernel,
+  qLD cached for the CG solver's preconditioner."""
+  qfrc_smooth = jax.vmap(
+      lambda dd: (dd.qfrc_passive - dd.qfrc_bias + dd.qfrc_applied +
+                  dd.qfrc_actuator + support.xfrc_accumulate(m, dd)))(d)
+  qacc_smooth, qld = solver_mod.spd_solve_factor(m, d.qM, qfrc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
+                   qLD=qld)
+
+
 @named('forward')
 def forward(m: Model, d: Data) -> Data:
   """Full forward dynamics (reference forward.py:973)."""
@@ -172,23 +202,38 @@ def forward(m: Model, d: Data) -> Data:
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                    dt) -> jax.Array:
-  """mj_integratePos: joint-type-aware position integration."""
+  """mj_integratePos: joint-type-aware position integration, vectorized
+  with static index tables (linear dofs: one gather/scatter; quaternion
+  joints: one vmapped exact quat integration)."""
+  import numpy as np
   out = qpos
+  # linear qpos entries (slide/hinge scalars + free translations)
+  lin_q, lin_d = [], []
+  quat_q, quat_d = [], []
   for j in range(m.njnt):
     jtype = m.jnt_type[j]
     qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
     if jtype == JointType.FREE:
-      out = out.at[qadr:qadr + 3].set(
-          qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3])
-      quat = math.quat_integrate(qpos[qadr + 3:qadr + 7],
-                                 qvel[dadr + 3:dadr + 6], dt)
-      out = out.at[qadr + 3:qadr + 7].set(quat)
+      lin_q += [qadr, qadr + 1, qadr + 2]
+      lin_d += [dadr, dadr + 1, dadr + 2]
+      quat_q.append(qadr + 3)
+      quat_d.append(dadr + 3)
     elif jtype == JointType.BALL:
-      quat = math.quat_integrate(qpos[qadr:qadr + 4],
-                                 qvel[dadr:dadr + 3], dt)
-      out = out.at[qadr:qadr + 4].set(quat)
+      quat_q.append(qadr)
+      quat_d.append(dadr)
     else:
-      out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+      lin_q.append(qadr)
+      lin_d.append(dadr)
+  if lin_q:
+    lq = np.asarray(lin_q)
+    ld = np.asarray(lin_d)
+    out = out.at[lq].set(qpos[lq] + dt * qvel[ld])
+  if quat_q:
+    qidx = np.asarray(quat_q)[:, None] + np.arange(4)[None, :]
+    didx = np.asarray(quat_d)[:, None] + np.arange(3)[None, :]
+    quats = jax.vmap(math.quat_integrate, in_axes=(0, 0, None))(
+        qpos[qidx], qvel[didx], dt)
+    out = out.at[qidx.reshape(-1)].set(quats.reshape(-1))
   return out
 
 
@@ -295,6 +340,91 @@ def step(m: Model, d: Data) -> Data:
     return rungekutta4(m, d)
   elif m.opt.integrator == IntegratorType.IMPLICITFAST:
     return implicit(m, d)
+  raise NotImplementedError(f'integrator {m.opt.integrator}')
+
+
+# ---------------------------------------------------------------------------
+# Batch-native perf path: vmapped stages + batched linear algebra
+# (the analogue of the reference's single captured CUDA graph over the
+# whole nworld batch, benchmark.py:128-137)
+# ---------------------------------------------------------------------------
+
+
+def forward_batched(m: Model, d: Data) -> Data:
+  """forward() over a leading world axis; linear solves batch to one
+  Pallas kernel each instead of per-world unrolled scalar chains."""
+  vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
+  d = vm(fwd_position, factorize=False)(d)
+  d = vm(sensor_mod.sensor_pos)(d)
+  d = vm(fwd_velocity)(d)
+  d = vm(sensor_mod.sensor_vel)(d)
+  d = vm(fwd_actuation)(d)
+  d = _fwd_acceleration_batched(m, d)
+  d = solver_mod.solve(m, d)            # batch-polymorphic
+  d = vm(sensor_mod.sensor_acc)(d)
+  return d
+
+
+@named('euler')
+def _euler_batched(m: Model, d: Data) -> Data:
+  qacc = d.qacc
+  if m.has_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
+    damp = jnp.diag(m.opt.timestep * m.dof_damping)
+    mh = d.qM + damp[None]
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    qacc = solver_mod.spd_solve(m, mh, qfrc)
+  return jax.vmap(lambda dd, qa: _advance(m, dd, dd.act_dot, qa))(d, qacc)
+
+
+@named('implicitfast')
+def _implicit_batched(m: Model, d: Data) -> Data:
+  from . import derivative
+  qderiv = jax.vmap(lambda dd: derivative.deriv_smooth_vel(m, dd))(d)
+  mh = d.qM - m.opt.timestep * qderiv
+  mh = 0.5 * (mh + jnp.swapaxes(mh, -1, -2))
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  qacc = solver_mod.spd_solve(m, mh, qfrc)
+  return jax.vmap(lambda dd, qa: _advance(m, dd, dd.act_dot, qa))(d, qacc)
+
+
+@named('rk4')
+def _rk4_batched(m: Model, d: Data) -> Data:
+  h = m.opt.timestep
+  a = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
+  b = (1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6)
+  qpos0, qvel0, act0, time0 = d.qpos, d.qvel, d.act, d.time
+  integrate = jax.vmap(lambda q, v: _integrate_pos(m, q, v, h))
+
+  fs = [(d.qvel, d.qacc, d.act_dot)]
+  d_i = d
+  for i in range(3):
+    dqvel = sum(a[i][j] * fs[j][1] for j in range(i + 1) if a[i][j])
+    dqpos_vel = sum(a[i][j] * fs[j][0] for j in range(i + 1) if a[i][j])
+    dact = sum(a[i][j] * fs[j][2] for j in range(i + 1) if a[i][j])
+    d_i = d_i.replace(qpos=integrate(qpos0, dqpos_vel),
+                      qvel=qvel0 + h * dqvel,
+                      act=act0 + h * dact if m.na else act0, time=time0)
+    d_i = forward_batched(m, d_i)
+    fs.append((d_i.qvel, d_i.qacc, d_i.act_dot))
+
+  vel_b = sum(b[i] * fs[i][0] for i in range(4))
+  acc_b = sum(b[i] * fs[i][1] for i in range(4))
+  actd_b = sum(b[i] * fs[i][2] for i in range(4))
+  return d_i.replace(qpos=integrate(qpos0, vel_b), qvel=qvel0 + h * acc_b,
+                     act=act0 + h * actd_b if m.na else act0,
+                     time=time0 + h, qacc=acc_b, qacc_warmstart=d.qacc)
+
+
+@named('step')
+def step_batched(m: Model, d: Data) -> Data:
+  """Batched step: the perf path. d carries a leading world axis."""
+  d = forward_batched(m, d)
+  if m.opt.integrator == IntegratorType.EULER:
+    return _euler_batched(m, d)
+  elif m.opt.integrator == IntegratorType.RK4:
+    return _rk4_batched(m, d)
+  elif m.opt.integrator == IntegratorType.IMPLICITFAST:
+    return _implicit_batched(m, d)
   raise NotImplementedError(f'integrator {m.opt.integrator}')
 
 

@@ -88,6 +88,31 @@ def _body_levels(parentid: np.ndarray) -> tuple[tuple[int, ...], ...]:
   return tuple(levels)
 
 
+def _dof_vpre_mask(mjm: mujoco.MjModel) -> np.ndarray:
+  """(nv, nv) mask V: V[j, k] = 1 iff dof k contributes to the partial
+  body velocity 'seen' by dof j when computing cdof_dot[j] =
+  motion_cross(v_pre(j), cdof[j]) (C mj_comVel accumulation order):
+  strict tree ancestors of j, EXCLUDING same-joint dofs — except a free
+  joint's rotational dofs, which see their own joint's linear dofs.
+  Turns the per-body com_vel scan into one matmul."""
+  nv = mjm.nv
+  V = np.zeros((nv, nv), dtype=np.float32)
+  for j in range(nv):
+    jnt_j = int(mjm.dof_jntid[j])
+    k = int(mjm.dof_parentid[j])
+    while k >= 0:
+      same_joint = int(mjm.dof_jntid[k]) == jnt_j
+      if not same_joint:
+        V[j, k] = 1.0
+      else:
+        jt = int(mjm.jnt_type[jnt_j])
+        dadr = int(mjm.jnt_dofadr[jnt_j])
+        if jt == 0 and j - dadr >= 3 and k - dadr < 3:  # free: rot sees lin
+          V[j, k] = 1.0
+      k = int(mjm.dof_parentid[k])
+  return V
+
+
 def _dof_ancestry(dof_parentid: np.ndarray) -> tuple:
   """Per-dof ancestor chains (incl. self) and the dense (nv, nv) mask used
   to assemble qM from composite inertias with one masked einsum."""
@@ -154,13 +179,51 @@ def _collision_pairs(mjm: mujoco.MjModel):
   return pairs, ncand
 
 
+def _tendon_structure(mjm: mujoco.MjModel) -> tuple:
+  """Static per-tendon wrap program (reference io.py:451-498 precomputes
+  equivalent address lists). Entries:
+    ('fixed', ((qposadr, dofadr, wrapadr), ...))          — joint tendon
+    ('spatial', (op, ...)) with op one of
+        ('site', siteid)
+        ('geom', geomid, geomtype, side_siteid)           — wrap obstacle
+        ('pulley', wrapadr)                               — branch divisor
+  """
+  out = []
+  for t in range(mjm.ntendon):
+    adr, num = int(mjm.tendon_adr[t]), int(mjm.tendon_num[t])
+    wtypes = [int(w) for w in mjm.wrap_type[adr:adr + num]]
+    if all(w == types.WrapType.JOINT for w in wtypes):
+      joints = []
+      for k in range(num):
+        j = int(mjm.wrap_objid[adr + k])
+        if mjm.jnt_type[j] not in (2, 3):  # slide/hinge only (C rule)
+          raise NotImplementedError('fixed tendon on ball/free joint')
+        joints.append((int(mjm.jnt_qposadr[j]), int(mjm.jnt_dofadr[j]),
+                       adr + k))
+      out.append(('fixed', tuple(joints)))
+    else:
+      ops = []
+      for k in range(num):
+        w = wtypes[k]
+        objid = int(mjm.wrap_objid[adr + k])
+        if w == types.WrapType.SITE:
+          ops.append(('site', objid))
+        elif w in (types.WrapType.SPHERE, types.WrapType.CYLINDER):
+          side = int(mjm.wrap_prm[adr + k])  # side-site id, -1 if none
+          ops.append(('geom', objid, int(mjm.geom_type[objid]), side))
+        elif w == types.WrapType.PULLEY:
+          ops.append(('pulley', adr + k))
+        else:
+          raise NotImplementedError(f'wrap type {w}')
+      out.append(('spatial', tuple(ops)))
+  return tuple(out)
+
+
 def put_model(mjm: mujoco.MjModel) -> Model:
   _validate(mjm)
 
   if mjm.npair > 0:
     raise NotImplementedError('explicit <pair> contacts not yet supported')
-  if mjm.ntendon > 0:
-    raise NotImplementedError('tendons not yet supported')
 
   opt = Option(
       timestep=_jp(mjm.opt.timestep),
@@ -181,7 +244,10 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       solver=int(mjm.opt.solver),
       iterations=int(mjm.opt.iterations),
       ls_iterations=int(mjm.opt.ls_iterations),
-      ls_parallel=False,
+      # parallel multi-alpha linesearch: ~6 fused kernels vs ~100 for the
+      # iterative variant — the right default on TPU (reference default
+      # is False on GPU, solver.py:481 offers both)
+      ls_parallel=True,
       disableflags=int(mjm.opt.disableflags),
       enableflags=int(mjm.opt.enableflags),
       run_collision_detection=True,
@@ -284,6 +350,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       tendon_adr=_tup(mjm.tendon_adr),
       tendon_num=_tup(mjm.tendon_num),
       tendon_limited=_tup(mjm.tendon_limited),
+      tendon_hasfrictionloss=_tup(mjm.tendon_frictionloss > 0),
+      tendon_structure=_tendon_structure(mjm),
       wrap_type=_tup(mjm.wrap_type),
       wrap_objid=_tup(mjm.wrap_objid),
       sensor_type=_tup(mjm.sensor_type),
@@ -368,6 +436,9 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       actuator_length0=_jp(mjm.actuator_length0),
       tendon_solref_lim=_jp(mjm.tendon_solref_lim),
       tendon_solimp_lim=_jp(mjm.tendon_solimp_lim),
+      tendon_solref_fri=_jp(mjm.tendon_solref_fri),
+      tendon_solimp_fri=_jp(mjm.tendon_solimp_fri),
+      tendon_length0=_jp(mjm.tendon_length0),
       tendon_range=_jp(mjm.tendon_range),
       tendon_margin=_jp(mjm.tendon_margin),
       tendon_stiffness=_jp(mjm.tendon_stiffness),
@@ -381,9 +452,20 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       sensor_cutoff=_jp(mjm.sensor_cutoff),
       mocap_pos0=_jp(mocap_pos0),
       mocap_quat0=_jp(mocap_quat0),
+      nkey=mjm.nkey,
+      key_time=_jp(mjm.key_time),
+      key_qpos=_jp(mjm.key_qpos),
+      key_qvel=_jp(mjm.key_qvel),
+      key_act=_jp(mjm.key_act),
+      key_ctrl=_jp(mjm.key_ctrl),
+      key_mpos=_jp(mjm.key_mpos.reshape(mjm.nkey, -1, 3) if mjm.nkey
+                   else np.zeros((0, mjm.nmocap, 3))),
+      key_mquat=_jp(mjm.key_mquat.reshape(mjm.nkey, -1, 4) if mjm.nkey
+                    else np.zeros((0, mjm.nmocap, 4))),
       dof_ancestor_mask=_jp(ancestor_mask),
       body_subtree_mask=_jp(subtree_mask),
       body_dof_ancestor_mask=_jp(body_dof_mask),
+      dof_vpre_mask=_jp(_dof_vpre_mask(mjm)),
   )
 
 
@@ -411,9 +493,11 @@ def efc_layout(m: Model, nconmax: int):
   ne = 0
   for i in range(m.neq):
     ne += {types.EqType.CONNECT: 3, types.EqType.WELD: 6,
-           types.EqType.JOINT: 1}[types.EqType(m.eq_type[i])]
-  nf = sum(m.dof_hasfrictionloss)
-  nl = sum(1 for i in range(m.njnt) if m.jnt_limited[i])
+           types.EqType.JOINT: 1,
+           types.EqType.TENDON: 1}[types.EqType(m.eq_type[i])]
+  nf = sum(m.dof_hasfrictionloss) + sum(m.tendon_hasfrictionloss)
+  nl = sum(1 for i in range(m.njnt) if m.jnt_limited[i]) + sum(
+      1 for t in range(m.ntendon) if m.tendon_limited[t])
   if m.opt.cone == types.ConeType.PYRAMIDAL:
     stride = max(2 * (m.condim_max - 1), 1)
   else:
@@ -522,8 +606,130 @@ def get_data_into(mjd: mujoco.MjData, m: Model, d: Data):
     getattr(mjd, attr)[...] = val.reshape(getattr(mjd, attr).shape)
 
 
-def reset_data(m: Model, d: Data) -> Data:
-  """Reset to qpos0 (the RL env-reset primitive; reference io.py:1458).
-  Under vmap, combine with jnp.where masks for selective per-world reset."""
+def reset_data(m: Model, d: Data, keyframe: int | None = None) -> Data:
+  """Reset to qpos0 or a keyframe (the RL env-reset primitive;
+  reference io.py:1458). Under vmap, combine with jnp.where masks for
+  selective per-world reset (see reset_data_masked)."""
   fresh = make_data(m, nconmax=d.contact.dist.shape[0])
+  if keyframe is not None:
+    fresh = fresh.replace(
+        time=m.key_time[keyframe], qpos=m.key_qpos[keyframe],
+        qvel=m.key_qvel[keyframe], act=m.key_act[keyframe],
+        ctrl=m.key_ctrl[keyframe],
+        mocap_pos=m.key_mpos[keyframe], mocap_quat=m.key_mquat[keyframe])
   return fresh
+
+
+def reset_data_masked(m: Model, batch: Data, reset_mask: jax.Array,
+                      keyframe: int | None = None) -> Data:
+  """Selective per-world reset: worlds where reset_mask is True return
+  to the initial state, others keep flowing (the reference's
+  reset=bitmask path, io.py:1458)."""
+  nworld = batch.qpos.shape[0]
+  fresh = reset_data(m, jax.tree_util.tree_map(lambda x: x[0], batch),
+                     keyframe=keyframe)
+
+  def mix(f, b):
+    mask = reset_mask.reshape((nworld,) + (1,) * (b.ndim - 1))
+    return jnp.where(mask, jnp.broadcast_to(f, b.shape), b)
+
+  return jax.tree_util.tree_map(mix, fresh, batch)
+
+
+def find_keys(mjm: mujoco.MjModel, prefix: str) -> list[int]:
+  """Keyframe ids whose name starts with prefix (reference io.py:2591)."""
+  out = []
+  for k in range(mjm.nkey):
+    name = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_KEY, k)
+    if name and name.startswith(prefix):
+      out.append(k)
+  return out
+
+
+def make_trajectory(mjm: mujoco.MjModel, keys: list[int]) -> np.ndarray:
+  """Stack keyframe ctrl rows into a (len(keys), nu) replay trajectory
+  (reference io.py:2603)."""
+  return np.stack([mjm.key_ctrl[k] for k in keys])
+
+
+# ---------------------------------------------------------------------------
+# override_model: string-path option overrides ("opt.solver=cg")
+# (reference io.py:2498-2588 — shared by tests and CLIs)
+# ---------------------------------------------------------------------------
+
+_ENUM_FIELDS = {
+    'solver': {'cg': types.SolverType.CG, 'newton': types.SolverType.NEWTON},
+    'integrator': {'euler': types.IntegratorType.EULER,
+                   'rk4': types.IntegratorType.RK4,
+                   'implicitfast': types.IntegratorType.IMPLICITFAST},
+    'cone': {'pyramidal': types.ConeType.PYRAMIDAL,
+             'elliptic': types.ConeType.ELLIPTIC},
+}
+_FLAG_FIELDS = {
+    'disableflags': types.DisableBit,
+    'enableflags': types.EnableBit,
+}
+_INT_OPT = {'iterations', 'ls_iterations'}
+_BOOL_OPT = {'ls_parallel', 'run_collision_detection'}
+
+
+def override_model(m: Model, overrides: list[str] | str) -> Model:
+  """Apply "opt.field=value" overrides; enum names, '|' flag unions,
+  ints/floats and bools are parsed (reference io.py:2498)."""
+  if isinstance(overrides, str):
+    overrides = [overrides]
+  opt = m.opt
+  for ov in overrides:
+    path, _, value = ov.partition('=')
+    path = path.strip()
+    value = value.strip()
+    if not path.startswith('opt.'):
+      raise ValueError(f'only opt.* overrides supported, got {path}')
+    field = path[4:]
+    if field in _ENUM_FIELDS:
+      new = int(_ENUM_FIELDS[field][value.lower()])
+    elif field in _FLAG_FIELDS:
+      enum_t = _FLAG_FIELDS[field]
+      new = 0
+      for part in value.split('|'):
+        part = part.strip().upper()
+        new |= int(enum_t[part])
+    elif field in _INT_OPT:
+      new = int(value)
+    elif field in _BOOL_OPT:
+      new = value.lower() in ('1', 'true', 'yes')
+    elif hasattr(opt, field):
+      cur = getattr(opt, field)
+      vals = [float(v) for v in value.split()]
+      new = jnp.asarray(vals[0] if len(vals) == 1 else vals,
+                        dtype=jnp.float32)
+      if hasattr(cur, 'shape') and cur.shape:
+        new = jnp.broadcast_to(new, cur.shape)
+    else:
+      raise ValueError(f'unknown option {field}')
+    opt = dataclasses.replace(opt, **{field: new})
+  return dataclasses.replace(m, opt=opt)
+
+
+# ---------------------------------------------------------------------------
+# set_const: on-device recompute of derived constants after mutating
+# model parameters (domain randomization; reference io.py:2197-2465)
+# ---------------------------------------------------------------------------
+
+
+def set_const(m: Model) -> Model:
+  """Recompute derived model constants (body_subtreemass and
+  stat.meaninertia) after body_mass / inertia edits. The reference
+  recomputes subtreemass, invweight0, acc0, meaninertia on device
+  (io.py:2410); invweight0/acc0 recompute needs a forward pass at qpos0
+  and lands with the randomization utilities."""
+  import numpy as np_
+  subtreemass = jnp.einsum(
+      'bc,c->b', m.body_subtree_mask, m.body_mass,
+      precision=jax.lax.Precision.HIGHEST)
+  # meaninertia: mean of qM diagonal at qpos0 ~ approximated by dof_M0
+  meaninertia = jnp.mean(m.dof_M0) if m.nv else m.stat.meaninertia
+  del np_
+  return dataclasses.replace(
+      m, body_subtreemass=subtreemass,
+      stat=dataclasses.replace(m.stat, meaninertia=meaninertia))

@@ -65,6 +65,20 @@ def passive(m: Model, d: Data) -> Data:
         for i in range(nv)], dtype)
     qfrc_gravcomp = qfrc_gravcomp * keep
 
+  # tendon springs (with deadband range) and dampers
+  # (reference passive.py:136-217)
+  if m.ntendon:
+    lo = m.tendon_lengthspring[:, 0]
+    hi = m.tendon_lengthspring[:, 1]
+    L = d.ten_length
+    displacement = jnp.where(L > hi, hi - L, jnp.where(L < lo, lo - L, 0.0))
+    frc_spring = m.tendon_stiffness * displacement
+    frc_damper = -m.tendon_damping * d.ten_velocity
+    qfrc_spring = qfrc_spring + jnp.einsum('tn,t->n', d.ten_J, frc_spring,
+                                           precision=jax.lax.Precision.HIGHEST)
+    qfrc_damper = qfrc_damper + jnp.einsum('tn,t->n', d.ten_J, frc_damper,
+                                           precision=jax.lax.Precision.HIGHEST)
+
   qfrc_fluid = zero  # density/viscosity/wind: follow-up
 
   qfrc_passive = qfrc_spring + qfrc_damper + qfrc_gravcomp + qfrc_fluid

@@ -23,8 +23,12 @@ SUPPORTED_SENSORS = {
     SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS, SensorType.FRAMEQUAT,
     SensorType.SUBTREECOM, SensorType.SUBTREELINVEL,
     SensorType.SUBTREEANGMOM, SensorType.CLOCK, SensorType.GYRO,
+    SensorType.TENDONPOS, SensorType.TENDONVEL,
     SensorType.VELOCIMETER, SensorType.FRAMELINVEL, SensorType.FRAMEANGVEL,
     SensorType.JOINTACTFRC,
+    SensorType.ACCELEROMETER, SensorType.FORCE, SensorType.TORQUE,
+    SensorType.FRAMELINACC, SensorType.FRAMEANGACC, SensorType.TOUCH,
+    SensorType.MAGNETOMETER, SensorType.E_POTENTIAL, SensorType.E_KINETIC,
 }
 
 
@@ -73,6 +77,8 @@ def sensor_pos(m: Model, d: Data) -> Data:
     objtype = m.sensor_objtype[s]
     if stype == SensorType.JOINTPOS:
       sd = _write(sd, adr, d.qpos[m.jnt_qposadr[objid]])
+    elif stype == SensorType.TENDONPOS:
+      sd = _write(sd, adr, d.ten_length[objid])
     elif stype == SensorType.ACTUATORPOS:
       sd = _write(sd, adr, d.actuator_length[objid])
     elif stype == SensorType.BALLQUAT:
@@ -115,6 +121,17 @@ def sensor_pos(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, q)
     elif stype == SensorType.SUBTREECOM:
       sd = _write(sd, adr, d.subtree_com[objid])
+    elif stype == SensorType.MAGNETOMETER:
+      _, mat = _obj_frame(m, d, objtype, objid)
+      sd = _write(sd, adr, mat.T @ m.opt.magnetic)
+    elif stype == SensorType.E_POTENTIAL:
+      d2 = energy_pos(m, d)
+      sd = _write(sd, adr, d2.energy[0])
+    elif stype == SensorType.E_KINETIC:
+      # mjModel marks E_KINETIC needstage=POS; qM and qvel are both
+      # available here (qM from crb earlier in fwd_position)
+      d2 = energy_vel(m, d)
+      sd = _write(sd, adr, d2.energy[1])
     elif stype == SensorType.CLOCK:
       sd = _write(sd, adr, d.time)
     else:
@@ -141,6 +158,8 @@ def sensor_vel(m: Model, d: Data) -> Data:
     objtype = m.sensor_objtype[s]
     if stype == SensorType.JOINTVEL:
       sd = _write(sd, adr, d.qvel[m.jnt_dofadr[objid]])
+    elif stype == SensorType.TENDONVEL:
+      sd = _write(sd, adr, d.ten_velocity[objid])
     elif stype == SensorType.ACTUATORVEL:
       sd = _write(sd, adr, d.actuator_velocity[objid])
     elif stype == SensorType.BALLANGVEL:
@@ -166,14 +185,26 @@ def sensor_vel(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, d.subtree_linvel[objid])
     elif stype == SensorType.SUBTREEANGMOM:
       sd = _write(sd, adr, d.subtree_angmom[objid])
+    elif stype == SensorType.E_KINETIC:
+      d2 = energy_vel(m, d)
+      sd = _write(sd, adr, d2.energy[1])
     else:
       raise NotImplementedError(f'vel sensor {stype}')
   return d.replace(sensordata=sd)
 
 
+_RNE_POST_SENSORS = (
+    SensorType.ACCELEROMETER, SensorType.FORCE, SensorType.TORQUE,
+    SensorType.FRAMELINACC, SensorType.FRAMEANGACC, SensorType.TOUCH,
+)
+
+
 def sensor_acc(m: Model, d: Data) -> Data:
   if m.nsensor == 0 or m.opt.disableflags & DisableBit.SENSOR:
     return d
+  from . import support  # local import to avoid cycle
+  if any(m.sensor_type[s] in _RNE_POST_SENSORS for s in range(m.nsensor)):
+    d = support.rne_postconstraint(m, d)
   sd = d.sensordata
   for s in range(m.nsensor):
     if m.sensor_needstage[s] != 3:  # mjSTAGE_ACC
@@ -181,10 +212,58 @@ def sensor_acc(m: Model, d: Data) -> Data:
     stype = m.sensor_type[s]
     adr = m.sensor_adr[s]
     objid = m.sensor_objid[s]
+    objtype = m.sensor_objtype[s]
     if stype == SensorType.ACTUATORFRC:
       sd = _write(sd, adr, d.actuator_force[objid])
     elif stype == SensorType.JOINTACTFRC:
       sd = _write(sd, adr, d.qfrc_actuator[m.jnt_dofadr[objid]])
+    elif stype == SensorType.ACCELEROMETER:
+      pos, mat = _obj_frame(m, d, objtype, objid)
+      acc, _ = support.object_acceleration(m, d, objtype, objid)
+      sd = _write(sd, adr, mat.T @ acc[3:])
+    elif stype in (SensorType.FRAMELINACC, SensorType.FRAMEANGACC):
+      acc, _ = support.object_acceleration(m, d, objtype, objid)
+      sd = _write(sd, adr,
+                  acc[3:] if stype == SensorType.FRAMELINACC else acc[:3])
+    elif stype == SensorType.FORCE:
+      body = _obj_body(m, objtype, objid)
+      pos, mat = _obj_frame(m, d, objtype, objid)
+      offset = pos - d.subtree_com[m.body_rootid[body]]
+      wrench = math.transform_force(d.cfrc_int[body], offset)
+      sd = _write(sd, adr, mat.T @ wrench[3:])
+    elif stype == SensorType.TORQUE:
+      body = _obj_body(m, objtype, objid)
+      pos, mat = _obj_frame(m, d, objtype, objid)
+      offset = pos - d.subtree_com[m.body_rootid[body]]
+      wrench = math.transform_force(d.cfrc_int[body], offset)
+      sd = _write(sd, adr, mat.T @ wrench[:3])
+    elif stype == SensorType.TOUCH:
+      # sum of normal contact forces on the site's body whose contact
+      # point falls inside the site volume (C mjSENS_TOUCH; sphere/box
+      # site approximated by its bounding sphere here)
+      body = m.site_bodyid[objid]
+      site_pos = d.site_xpos[objid]
+      size = m.site_size[objid]
+      rad = jnp.max(size)
+      nconmax = d.contact.dist.shape[0]
+      geom_bodyid = jnp.asarray(m.geom_bodyid)
+
+      def one(i):
+        g1 = d.contact.geom[i, 0]
+        g2 = d.contact.geom[i, 1]
+        valid = (g1 >= 0) & (
+            d.contact.dist[i] < d.contact.includemargin[i])
+        b1 = geom_bodyid[jnp.maximum(g1, 0)]
+        b2 = geom_bodyid[jnp.maximum(g2, 0)]
+        on_body = (b1 == body) | (b2 == body)
+        near = math.norm(d.contact.pos[i] - site_pos) < rad + 1e-6
+        f = support.contact_force(m, d, i)
+        return jnp.where(valid & on_body & near, jnp.maximum(f[0], 0.0),
+                         0.0)
+
+      total = jnp.sum(jax.vmap(one)(jnp.arange(nconmax))) if nconmax \
+          else jnp.zeros((), d.qpos.dtype)
+      sd = _write(sd, adr, total)
     else:
       raise NotImplementedError(f'acc sensor {stype}')
   return d.replace(sensordata=sd)

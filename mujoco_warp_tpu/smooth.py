@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from . import linalg
 from . import math
-from .types import Data, DisableBit, JointType, Model, TrnType
+from . import wrap as wrap_mod
+from .types import Data, DisableBit, GeomType, JointType, Model, TrnType
 
 # einsum precision: physics needs f32 accumulation; on TPU the default
 # bf16 matmul path loses contact-scale precision.
@@ -199,30 +200,39 @@ def com_pos(m: Model, d: Data) -> Data:
                                           d.ximat)
   cinert = cinert.at[0].set(0.0)
 
-  # cdof: per-dof spatial motion axes about the root subtree com
+  # cdof: per-dof spatial motion axes about the root subtree com —
+  # vectorized over all dofs with static per-dof classification tables
+  # (the reference walks joints in a kernel, smooth.py:602)
   dtype = d.qpos.dtype
-  cdofs = []
-  for j in range(m.njnt):
-    b = m.jnt_bodyid[j]
-    jtype = m.jnt_type[j]
-    off = d.xanchor[j] - subtree_com[m.body_rootid[b]]
-    if jtype == JointType.FREE:
-      for i in range(3):
-        e = jnp.zeros(3, dtype).at[i].set(1.0)
-        cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), e]))
-      for i in range(3):
-        ax = d.xmat[b, :, i]
-        cdofs.append(jnp.concatenate([ax, jnp.cross(ax, -off)]))
-    elif jtype == JointType.BALL:
-      for i in range(3):
-        ax = d.xmat[b, :, i]
-        cdofs.append(jnp.concatenate([ax, jnp.cross(ax, -off)]))
-    elif jtype == JointType.SLIDE:
-      cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), d.xaxis[j]]))
-    else:  # hinge
-      ax = d.xaxis[j]
-      cdofs.append(jnp.concatenate([ax, jnp.cross(ax, -off)]))
-  cdof = jnp.stack(cdofs) if cdofs else jnp.zeros((0, 6), dtype)
+  if m.nv == 0:
+    return d.replace(subtree_com=subtree_com, cinert=cinert)
+  import numpy as np
+  jnt_of = np.asarray(m.dof_jntid)
+  body_of = np.asarray(m.dof_bodyid)
+  jt = np.asarray(m.jnt_type)[jnt_of]
+  dadr_of = np.asarray(m.jnt_dofadr)[jnt_of]
+  k_in = np.arange(m.nv) - dadr_of                   # index within joint
+  is_freelin = (jt == JointType.FREE) & (k_in < 3)
+  is_rotmat = ((jt == JointType.FREE) & (k_in >= 3)) | (
+      jt == JointType.BALL)
+  col = np.where(jt == JointType.FREE, k_in - 3, k_in)  # xmat column
+  is_slide = jt == JointType.SLIDE
+  is_hinge = jt == JointType.HINGE
+
+  off = d.xanchor[jnt_of] - subtree_com[
+      np.asarray(m.body_rootid)[body_of]]             # (nv, 3)
+  ax_mat = d.xmat[body_of, :, np.clip(col, 0, 2)]     # (nv, 3)
+  ax_jnt = d.xaxis[jnt_of]
+  e_lin = jnp.asarray(np.eye(3)[np.clip(k_in, 0, 2)] *
+                      is_freelin[:, None], dtype)
+
+  ang = jnp.where(jnp.asarray(is_rotmat)[:, None], ax_mat,
+                  jnp.where(jnp.asarray(is_hinge)[:, None], ax_jnt, 0.0))
+  lin_rot = jnp.cross(ang, -off)
+  lin = jnp.where(jnp.asarray(is_rotmat | is_hinge)[:, None], lin_rot,
+                  jnp.where(jnp.asarray(is_slide)[:, None], ax_jnt,
+                            e_lin))
+  cdof = jnp.concatenate([ang, lin], axis=1)
 
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
@@ -282,39 +292,26 @@ def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
 
 def com_vel(m: Model, d: Data) -> Data:
   """Spatial velocities + cdof time derivatives
-  (reference smooth.py:2015; C mj_comVel)."""
+  (reference smooth.py:2015; C mj_comVel). The per-body tree scan is
+  two masked matmuls: cvel from the body/dof ancestry mask, and
+  cdof_dot[j] = v_pre(j) x cdof[j] with v_pre from the strict-ancestor
+  mask (io._dof_vpre_mask) — exact C accumulation-order semantics."""
   dtype = d.qpos.dtype
-  cvel = [jnp.zeros(6, dtype)] * m.nbody
-  cdof_dot = [jnp.zeros(6, dtype)] * max(m.nv, 1)
-
-  for b in range(1, m.nbody):
-    v = cvel[m.body_parentid[b]]
-    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
-    for k in range(jnum):
-      j = jadr + k
-      jtype = m.jnt_type[j]
+  if m.nv == 0:
+    return d.replace(cvel=jnp.zeros((m.nbody, 6), dtype))
+  dof_vel = d.cdof * d.qvel[:, None]                    # (nv, 6)
+  cvel = jnp.einsum('bj,ji->bi', m.body_dof_ancestor_mask, dof_vel,
+                    **_EINSUM)
+  v_pre = jnp.einsum('jk,ki->ji', m.dof_vpre_mask, dof_vel, **_EINSUM)
+  cdof_dot = jax.vmap(math.motion_cross)(v_pre, d.cdof)
+  # linear dofs of free joints keep cdof_dot = 0 (C leaves them zero)
+  import numpy as np
+  is_freelin = np.zeros(m.nv, dtype=bool)
+  for j in range(m.njnt):
+    if m.jnt_type[j] == JointType.FREE:
       dadr = m.jnt_dofadr[j]
-      if jtype == JointType.FREE:
-        # linear dofs: cdof_dot = 0; accumulate velocity first
-        for i in range(3):
-          v = v + d.cdof[dadr + i] * d.qvel[dadr + i]
-        # rotational dofs: cdof_dot uses cvel incl. linear part
-        for i in range(3, 6):
-          cdof_dot[dadr + i] = math.motion_cross(v, d.cdof[dadr + i])
-        for i in range(3, 6):
-          v = v + d.cdof[dadr + i] * d.qvel[dadr + i]
-      elif jtype == JointType.BALL:
-        for i in range(3):
-          cdof_dot[dadr + i] = math.motion_cross(v, d.cdof[dadr + i])
-        for i in range(3):
-          v = v + d.cdof[dadr + i] * d.qvel[dadr + i]
-      else:
-        cdof_dot[dadr] = math.motion_cross(v, d.cdof[dadr])
-        v = v + d.cdof[dadr] * d.qvel[dadr]
-    cvel[b] = v
-
-  cvel = jnp.stack(cvel)
-  cdof_dot = jnp.stack(cdof_dot)[:m.nv]
+      is_freelin[dadr:dadr + 3] = True
+  cdof_dot = jnp.where(jnp.asarray(is_freelin)[:, None], 0.0, cdof_dot)
   return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
@@ -348,11 +345,31 @@ def rne(m: Model, d: Data) -> Data:
 
 
 def transmission(m: Model, d: Data) -> Data:
-  """Actuator lengths and moment arms (reference smooth.py:2042-2605).
-  JOINT transmission on 1-dof joints + free/ball; others to follow."""
+  """Actuator lengths and moment arms (reference smooth.py:2042-2605)."""
   if m.nu == 0:
     return d
   dtype = d.qpos.dtype
+  import numpy as np
+
+  # fast path: every actuator is JOINT transmission on a slide/hinge —
+  # lengths are a gather, the moment matrix is a static one-hot times
+  # gear (one fused op instead of a per-actuator trace loop)
+  simple = all(
+      m.actuator_trntype[u] == TrnType.JOINT and
+      m.jnt_type[m.actuator_trnid[u][0]] in (JointType.SLIDE,
+                                             JointType.HINGE)
+      for u in range(m.nu))
+  if simple:
+    jids = np.asarray([m.actuator_trnid[u][0] for u in range(m.nu)])
+    qadr = np.asarray(m.jnt_qposadr)[jids]
+    dadr = np.asarray(m.jnt_dofadr)[jids]
+    onehot = np.zeros((m.nu, m.nv), dtype=np.float32)
+    onehot[np.arange(m.nu), dadr] = 1.0
+    gear0 = m.actuator_gear[:, 0]
+    lengths = d.qpos[qadr] * gear0
+    moment = jnp.asarray(onehot, dtype) * gear0[:, None]
+    return d.replace(actuator_length=lengths, actuator_moment=moment)
+
   lengths = []
   moment = jnp.zeros((m.nu, m.nv), dtype)
   for u in range(m.nu):
@@ -386,10 +403,133 @@ def transmission(m: Model, d: Data) -> Data:
         moment = moment.at[u, dadr:dadr + 6].set(g)
       else:
         raise NotImplementedError(f'joint transmission on {jtype}')
+    elif trntype == TrnType.TENDON:
+      t = m.actuator_trnid[u][0]
+      gear = m.actuator_gear[u][0]
+      lengths.append(d.ten_length[t] * gear)
+      moment = moment.at[u].set(gear * d.ten_J[t])
+    elif trntype == TrnType.SITE:
+      from . import support  # local import to avoid cycle
+      sid = m.actuator_trnid[u][0]
+      refid = m.actuator_trnid[u][1]
+      gear = m.actuator_gear[u]
+      b = m.site_bodyid[sid]
+      if refid == -1:
+        # force/torque applied at the site along gear axes: length = 0
+        lengths.append(jnp.zeros((), dtype))
+        jacp, jacr = support.jac(m, d, d.site_xpos[sid], b)
+        frc = d.site_xmat[sid] @ gear[:3]
+        trq = d.site_xmat[sid] @ gear[3:]
+        moment = moment.at[u].set(jacp.T @ frc + jacr.T @ trq)
+      else:
+        # site-to-site transmission: length = projected pose difference
+        bref = m.site_bodyid[refid]
+        refpos = d.site_xpos[refid]
+        refmat = d.site_xmat[refid]
+        vecp = refmat.T @ (d.site_xpos[sid] - refpos)
+        quat = math.mul_quat(math.mat_to_quat(refmat).at[1:].multiply(-1.0),
+                             math.mat_to_quat(d.site_xmat[sid]))
+        vecr = math.quat_to_vel(quat)
+        lengths.append(jnp.dot(vecp, gear[:3]) + jnp.dot(vecr, gear[3:]))
+        jacp, jacr = support.jac(m, d, d.site_xpos[sid], b)
+        jacp_r, jacr_r = support.jac(m, d, refpos, bref)
+        # translational moment in ref frame
+        mom_p = (refmat @ gear[:3]) @ (jacp - jacp_r)
+        mom_r = (refmat @ gear[3:]) @ (jacr - jacr_r)
+        moment = moment.at[u].set(mom_p + mom_r)
     else:
       raise NotImplementedError(f'transmission type {trntype}')
   return d.replace(actuator_length=jnp.stack(lengths),
                    actuator_moment=moment)
+
+
+def tendon(m: Model, d: Data) -> Data:
+  """Tendon lengths and Jacobians (reference smooth.py:3173-3627;
+  C mj_tendon). Structure is static per tendon, so the wrap program
+  unrolls at trace time; the wrap geometry itself (wrap.py) is
+  branch-free masked math."""
+  if m.ntendon == 0:
+    return d
+  from . import support  # local import to avoid cycle
+  dtype = d.qpos.dtype
+  lengths = []
+  jrows = []
+  for t in range(m.ntendon):
+    kind, info = m.tendon_structure[t]
+    if kind == 'fixed':
+      length = jnp.zeros((), dtype)
+      row = jnp.zeros(m.nv, dtype)
+      for qadr, dofadr, wadr in info:
+        coef = m.wrap_prm[wadr]
+        length = length + coef * d.qpos[qadr]
+        row = row.at[dofadr].add(coef)
+      lengths.append(length)
+      jrows.append(row)
+      continue
+    # spatial tendon: walk the wrap program
+    length = jnp.zeros((), dtype)
+    row = jnp.zeros(m.nv, dtype)
+    divisor = jnp.ones((), dtype)
+    prev = None  # (pos, bodyid) of previous path point
+
+    def seg(row, length, p0, b0, p1, b1, divisor):
+      dif = p1 - p0
+      norm = math.norm(dif)
+      unit = dif / jnp.where(norm < 1e-12, 1.0, norm)
+      length = length + norm / divisor
+      jacp0, _ = support.jac(m, d, p0, b0)
+      jacp1, _ = support.jac(m, d, p1, b1)
+      row = row + (unit @ (jacp1 - jacp0)) / divisor
+      return row, length
+
+    i = 0
+    ops = info
+    while i < len(ops):
+      op = ops[i]
+      if op[0] == 'pulley':
+        divisor = jnp.maximum(m.wrap_prm[op[1]], 1e-12)
+        prev = None
+        i += 1
+        continue
+      assert op[0] == 'site', f'unexpected wrap op {op}'
+      sid = op[1]
+      cur = (d.site_xpos[sid], m.site_bodyid[sid])
+      if prev is not None:
+        # wrap obstacle between the previous site and this one?
+        pass
+      if i + 1 < len(ops) and ops[i + 1][0] == 'geom':
+        gid, gtype, side_sid = ops[i + 1][1:]
+        nxt_op = ops[i + 2]
+        assert nxt_op[0] == 'site', 'geom wrap must sit between sites'
+        nsid = nxt_op[1]
+        nxt = (d.site_xpos[nsid], m.site_bodyid[nsid])
+        gb = m.geom_bodyid[gid]
+        side = d.site_xpos[side_sid] if side_sid >= 0 else None
+        wrap_fn = (wrap_mod.wrap_sphere if gtype == GeomType.SPHERE
+                   else wrap_mod.wrap_cylinder)
+        wlen, w0, w1 = wrap_fn(cur[0], nxt[0], d.geom_xpos[gid],
+                               d.geom_xmat[gid], m.geom_size[gid, 0], side)
+        wrapped = wlen >= 0
+        # straight path (no wrap): one segment; wrapped: two segments
+        # + arc. Compute both, select by mask.
+        row_s, len_s = seg(row, length, cur[0], cur[1], nxt[0], nxt[1],
+                           divisor)
+        row_w, len_w = seg(row, length, cur[0], cur[1], w0, gb, divisor)
+        row_w, len_w = seg(row_w, len_w, w1, gb, nxt[0], nxt[1], divisor)
+        len_w = len_w + jnp.maximum(wlen, 0.0) / divisor
+        row = jnp.where(wrapped, row_w, row_s)
+        length = jnp.where(wrapped, len_w, len_s)
+        prev = nxt
+        i += 3
+        continue
+      if prev is not None:
+        row, length = seg(row, length, prev[0], prev[1], cur[0], cur[1],
+                          divisor)
+      prev = cur
+      i += 1
+    lengths.append(length)
+    jrows.append(row)
+  return d.replace(ten_length=jnp.stack(lengths), ten_J=jnp.stack(jrows))
 
 
 def subtree_vel(m: Model, d: Data) -> Data:

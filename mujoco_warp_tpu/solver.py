@@ -3,10 +3,17 @@
 
 TPU-native structure: the whole solve is one ``lax.while_loop`` whose
 carried state is a small pytree; per-world convergence uses a ``done``
-flag folded into every update (under vmap the loop condition becomes an
-implicit any-reduce) — the XLA equivalent of the reference's conditional
-CUDA graph ``wp.capture_while`` + per-world early-outs
+flag folded into every update — the XLA equivalent of the reference's
+conditional CUDA graph ``wp.capture_while`` + per-world early-outs
 (solver.py:3327-3343, 3151-3254).
+
+All math is written **batch-polymorphic**: arrays are (..., nj, nv) /
+(..., nj) with an optional leading world axis. ``solve`` is used both
+single-world (tests, vmap fallback) and batch-native (the perf path,
+``forward.step_batched``), where the per-iteration Newton system is
+solved by ONE Pallas kernel over all worlds (pallas/batch_linalg.py)
+instead of thousands of unfused scalar ops — the role the reference's
+tiled Cholesky + MathDx GEMMs play (solver.py:2368,2732).
 
 The linesearch is the exact convex piecewise-quadratic minimization
 (reference's iterative variant, solver.py:887-1343) implemented as a
@@ -23,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from . import linalg
-from . import smooth
 from .types import ConstraintType, Data, DisableBit, Model, SolverType
 
 _MINVAL = 1e-15
@@ -49,23 +55,55 @@ class _Ctx:
   done: jax.Array
 
 
+def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
+  """SPD solve, dispatched: Pallas lane-batched kernel on TPU for
+  batched inputs, unrolled scalar version otherwise."""
+  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 64:
+    from .pallas import batch_linalg
+    return batch_linalg.spd_solve_batched(a, b)
+  if a.ndim == 3:
+    return jax.vmap(linalg.spd_solve)(a, b)
+  return linalg.spd_solve(a, b)
+
+
+def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
+  """Batched SPD factor + solve; returns (x, L)."""
+  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 64:
+    from .pallas import batch_linalg
+    return batch_linalg.spd_solve_batched(a, b, return_factor=True)
+  if a.ndim == 3:
+    l = jax.vmap(linalg.cholesky)(a)
+    return jax.vmap(linalg.cho_solve)(l, b), l
+  l = linalg.cholesky(a)
+  return linalg.cho_solve(l, b), l
+
+
+def cho_solve(m: Model, l: jax.Array, b: jax.Array) -> jax.Array:
+  if l.ndim == 3 and jax.default_backend() == 'tpu' and l.shape[-1] <= 64:
+    from .pallas import batch_linalg
+    return batch_linalg.cho_solve_batched(l, b)
+  if l.ndim == 3:
+    return jax.vmap(linalg.cho_solve)(l, b)
+  return linalg.cho_solve(l, b)
+
+
 def _rescale(m: Model, value):
   return value / (jnp.maximum(m.stat.meaninertia, _MINVAL) *
                   jnp.maximum(1, m.nv))
 
 
-def _row_masks(m: Model, d: Data):
-  """Static-ish per-row classification masks."""
-  is_eq = d.efc_type == ConstraintType.EQUALITY
-  is_fr = (d.efc_type == ConstraintType.FRICTION_DOF) | (
-      d.efc_type == ConstraintType.FRICTION_TENDON)
+def _row_masks(m: Model, efc_type):
+  is_eq = efc_type == ConstraintType.EQUALITY
+  is_fr = (efc_type == ConstraintType.FRICTION_DOF) | (
+      efc_type == ConstraintType.FRICTION_TENDON)
   is_oneside = ~is_eq & ~is_fr
   return is_eq, is_fr, is_oneside
 
 
 def _update_constraint(m: Model, d: Data, jaref):
-  """Per-row force, cost, active state (reference solver.py:1805-1953)."""
-  is_eq, is_fr, is_one = _row_masks(m, d)
+  """Per-row force, cost, active state (reference solver.py:1805-1953).
+  jaref: (..., nj)."""
+  is_eq, is_fr, is_one = _row_masks(m, d.efc_type)
   D = d.efc_D
   fl = d.efc_frictionloss
   rf = fl / jnp.maximum(D, _MINVAL)
@@ -83,14 +121,16 @@ def _update_constraint(m: Model, d: Data, jaref):
   cost_rows = jnp.where(quad, 0.5 * D * jaref * jaref, 0.0)
   cost_rows = jnp.where(lin_neg, -fl * (0.5 * rf + jaref), cost_rows)
   cost_rows = jnp.where(lin_pos, -fl * (0.5 * rf - jaref), cost_rows)
-  cost = jnp.sum(cost_rows)
+  cost = jnp.sum(cost_rows, axis=-1)
 
-  qfrc_constraint = jnp.einsum('jn,j->n', d.efc_J, force, **_EINSUM)
+  qfrc_constraint = jnp.einsum('...jn,...j->...n', d.efc_J, force,
+                               **_EINSUM)
   return force, qfrc_constraint, cost, quad
 
 
 def _gauss_cost(m: Model, d: Data, qacc, ma):
-  return 0.5 * jnp.dot(ma - d.qfrc_smooth, qacc - d.qacc_smooth)
+  return 0.5 * jnp.sum((ma - d.qfrc_smooth) * (qacc - d.qacc_smooth),
+                       axis=-1)
 
 
 def _update_gradient(m: Model, d: Data, ctx_grad_inputs):
@@ -99,34 +139,35 @@ def _update_gradient(m: Model, d: Data, ctx_grad_inputs):
   grad = ma - d.qfrc_smooth - qfrc_constraint
   if m.opt.solver == SolverType.NEWTON:
     dh = d.efc_D * quad.astype(d.efc_D.dtype)
-    # H = M + J^T diag(Dh) J — the hot kernel (reference solver.py:2368)
-    jd = d.efc_J * dh[:, None]
-    h = d.qM + jnp.einsum('jn,jk->nk', jd, d.efc_J, **_EINSUM)
-    mgrad = linalg.spd_solve(h, grad)
+    # H = M + J^T diag(Dh) J — MXU batched matmul (reference solver.py:2368)
+    jd = d.efc_J * dh[..., None]
+    h = d.qM + jnp.einsum('...jn,...jk->...nk', jd, d.efc_J, **_EINSUM)
+    mgrad = spd_solve(m, h, grad)
   else:
-    mgrad = smooth.solve_m(m, d, grad)
+    mgrad = cho_solve(m, d.qLD, grad)
   return grad, mgrad
 
 
 def _linesearch(m: Model, d: Data, ctx: _Ctx):
-  """Exact convex piecewise-quadratic linesearch along ctx.search."""
+  """Exact convex piecewise-quadratic linesearch along ctx.search.
+  All scalars are (...,) shaped (one per world)."""
   p = ctx.search
-  mv = jnp.einsum('ij,j->i', d.qM, p, **_EINSUM)
-  jv = jnp.einsum('jn,n->j', d.efc_J, p, **_EINSUM)
+  mv = jnp.einsum('...ij,...j->...i', d.qM, p, **_EINSUM)
+  jv = jnp.einsum('...jn,...n->...j', d.efc_J, p, **_EINSUM)
 
   # gauss quadratic: phi_g'(a) = g0 + a h0
-  g0 = jnp.dot(p, ctx.Ma - d.qfrc_smooth)
-  h0 = jnp.dot(p, mv)
+  g0 = jnp.sum(p * (ctx.Ma - d.qfrc_smooth), axis=-1)
+  h0 = jnp.sum(p * mv, axis=-1)
 
-  is_eq, is_fr, is_one = _row_masks(m, d)
+  is_eq, is_fr, is_one = _row_masks(m, d.efc_type)
   D = d.efc_D
   fl = d.efc_frictionloss
   rf = fl / jnp.maximum(D, _MINVAL)
   jaref = ctx.jaref
 
   def phi_d(alpha):
-    """(phi'(alpha), phi''(alpha)) — both scalar."""
-    x = jaref + alpha * jv
+    """(phi'(alpha), phi''(alpha)) — (...,) each; alpha (...,)."""
+    x = jaref + alpha[..., None] * jv
     lin_neg = is_fr & (x <= -rf)
     lin_pos = is_fr & (x >= rf)
     quad = is_eq | (is_fr & ~lin_neg & ~lin_pos) | (is_one & (x < 0.0))
@@ -134,12 +175,56 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
     d1_rows = d1_rows + jnp.where(lin_neg, -fl * jv, 0.0)
     d1_rows = d1_rows + jnp.where(lin_pos, fl * jv, 0.0)
     d2_rows = jnp.where(quad, D * jv * jv, 0.0)
-    return (g0 + alpha * h0 + jnp.sum(d1_rows),
-            h0 + jnp.sum(d2_rows))
+    return (g0 + alpha * h0 + jnp.sum(d1_rows, axis=-1),
+            h0 + jnp.sum(d2_rows, axis=-1))
 
-  p1_0, p2_0 = phi_d(jnp.zeros((), p.dtype))
+  zero = jnp.zeros_like(g0)
+  p1_0, p2_0 = phi_d(zero)
   alpha0 = -p1_0 / jnp.maximum(p2_0, _MINVAL)
   alpha0 = jnp.maximum(alpha0, 0.0)
+
+  if m.opt.ls_parallel:
+    # Parallel multi-alpha linesearch (reference solver.py:481): phi' is
+    # piecewise-LINEAR monotone (the cost is piecewise quadratic), so
+    # bracket the root over log-spaced candidates around the
+    # unconstrained Newton step, then one secant (exact within a piece)
+    # + one Newton polish. ~6 fused kernels total instead of the
+    # iterative variant's ~100 (fusion-barrier count is what TPU
+    # dispatch pays for, not FLOPs).
+    K = 16
+    scales = jnp.logspace(-3.0, 0.7, K).astype(jaref.dtype)  # 1e-3..5
+    alphas = alpha0[..., None] * scales          # (..., K)
+    p1_k, _ = jax.vmap(phi_d, in_axes=-1, out_axes=-1)(alphas)
+    # lo = largest candidate with phi' < 0; hi = smallest with phi' >= 0
+    neg = p1_k < 0
+    any_neg = jnp.any(neg, axis=-1)
+    big = jnp.full_like(alphas, jnp.inf)
+    # phi' is monotone: the largest negative-phi' candidate is the
+    # bracket's lower end; alpha=0 (where phi' = p1_0 < 0) is the
+    # implicit lower end when every candidate is already positive
+    lo = jnp.where(any_neg, jnp.max(jnp.where(neg, alphas, 0.0), axis=-1),
+                   0.0)
+    p1_lo = jnp.where(any_neg,
+                      jnp.max(jnp.where(neg, p1_k, -jnp.inf), axis=-1),
+                      p1_0)
+    hi = jnp.min(jnp.where(neg, big, alphas), axis=-1)
+    p1_hi = jnp.min(jnp.where(neg, big, p1_k), axis=-1)
+    any_hi = jnp.isfinite(hi)
+    # secant within the bracket (exact if no kink between lo and hi)
+    denom = jnp.where(jnp.abs(p1_hi - p1_lo) < _MINVAL, 1.0, p1_hi - p1_lo)
+    secant = lo - p1_lo * (hi - lo) / denom
+    # no bracket above: Newton from the largest candidate
+    a_max = alphas[..., -1]
+    p1_m, p2_m = phi_d(a_max)
+    newton_tail = a_max - p1_m / jnp.maximum(p2_m, _MINVAL)
+    alpha = jnp.where(any_hi, secant, jnp.maximum(newton_tail, 0.0))
+    # Newton polish: converges across remaining kinks (phi convex)
+    for _ in range(3):
+      p1_a, p2_a = phi_d(alpha)
+      alpha = alpha - p1_a / jnp.maximum(p2_a, _MINVAL)
+      alpha = jnp.maximum(alpha, 0.0)
+    alpha = jnp.where(p1_0 >= 0, 0.0, alpha)
+    return alpha, mv, jv
 
   def body(_, state):
     alpha, lo, hi, has_hi, done_ls = state
@@ -159,8 +244,7 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
     alpha = jnp.where(new_done, alpha, nxt)
     return alpha, new_lo, new_hi, new_has_hi, new_done
 
-  zero = jnp.zeros((), p.dtype)
-  state = (alpha0, zero, alpha0, jnp.zeros((), bool), p1_0 >= 0)
+  state = (alpha0, zero, alpha0, jnp.zeros_like(p1_0, bool), p1_0 >= 0)
   alpha, *_ = jax.lax.fori_loop(0, m.opt.ls_iterations, body, state)
   alpha = jnp.where(p1_0 >= 0, 0.0, alpha)
   return alpha, mv, jv
@@ -168,32 +252,35 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
 
 def _iteration(m: Model, d: Data, ctx: _Ctx) -> _Ctx:
   alpha, mv, jv = _linesearch(m, d, ctx)
-  qacc = ctx.qacc + alpha * ctx.search
-  ma = ctx.Ma + alpha * mv
-  jaref = ctx.jaref + alpha * jv
+  qacc = ctx.qacc + alpha[..., None] * ctx.search
+  ma = ctx.Ma + alpha[..., None] * mv
+  jaref = ctx.jaref + alpha[..., None] * jv
 
   force, qfrc_constraint, cost_c, quad = _update_constraint(m, d, jaref)
   cost = cost_c + _gauss_cost(m, d, qacc, ma)
   grad, mgrad = _update_gradient(m, d, (ma, qfrc_constraint, quad))
 
   if m.opt.solver == SolverType.CG:
-    beta_num = jnp.dot(grad, mgrad - ctx.prev_mgrad)
-    beta_den = jnp.maximum(jnp.dot(ctx.prev_grad, ctx.prev_mgrad), _MINVAL)
+    beta_num = jnp.sum(grad * (mgrad - ctx.prev_mgrad), axis=-1)
+    beta_den = jnp.maximum(jnp.sum(ctx.prev_grad * ctx.prev_mgrad, axis=-1),
+                           _MINVAL)
     beta = jnp.maximum(0.0, beta_num / beta_den)
-    search = -mgrad + beta * ctx.search
+    search = -mgrad + beta[..., None] * ctx.search
   else:
     search = -mgrad
 
   improvement = _rescale(m, ctx.cost - cost)
-  gradient = _rescale(m, jnp.sqrt(jnp.sum(grad * grad)))
+  gradient = _rescale(m, jnp.sqrt(jnp.sum(grad * grad, axis=-1)))
   niter = ctx.solver_niter + 1
   done = ctx.done | (improvement < m.opt.tolerance) | (
       gradient < m.opt.tolerance) | (niter >= m.opt.iterations)
 
-  # masked commit: converged worlds keep their state (vmap-safe)
+  # masked commit: converged worlds keep their state
   def sel(new, old):
-    expand = (Ellipsis,) + (None,) * (new.ndim - ctx.done.ndim)
-    return jnp.where(ctx.done[expand] if new.ndim else ctx.done, old, new)
+    dmask = ctx.done
+    if new.ndim > dmask.ndim:
+      dmask = dmask[..., None]
+    return jnp.where(dmask, old, new)
 
   new_ctx = _Ctx(
       qacc=sel(qacc, ctx.qacc), Ma=sel(ma, ctx.Ma),
@@ -210,22 +297,25 @@ def _iteration(m: Model, d: Data, ctx: _Ctx) -> _Ctx:
 
 
 def solve(m: Model, d: Data) -> Data:
-  """Entry point (reference solver.py:3296)."""
+  """Entry point (reference solver.py:3296). Works single-world
+  ((nj, nv) arrays) or batch-native ((W, nj, nv) arrays)."""
   dtype = d.qpos.dtype
-  njmax = d.efc_J.shape[0]
+  njmax = d.efc_J.shape[-2]
+  batch_shape = d.qpos.shape[:-1]
   if (njmax == 0 or m.nv == 0 or m.opt.iterations == 0 or
       m.opt.disableflags & DisableBit.CONSTRAINT):
     return d.replace(qacc=d.qacc_smooth,
-                     qfrc_constraint=jnp.zeros(m.nv, dtype),
-                     solver_niter=jnp.zeros((), jnp.int32))
+                     qfrc_constraint=jnp.zeros_like(d.qacc_smooth),
+                     solver_niter=jnp.zeros(batch_shape, jnp.int32))
 
   if m.opt.disableflags & DisableBit.WARMSTART:
     qacc = d.qacc_smooth
   else:
     qacc = d.qacc_warmstart
 
-  ma = jnp.einsum('ij,j->i', d.qM, qacc, **_EINSUM)
-  jaref = jnp.einsum('jn,n->j', d.efc_J, qacc, **_EINSUM) - d.efc_aref
+  ma = jnp.einsum('...ij,...j->...i', d.qM, qacc, **_EINSUM)
+  jaref = jnp.einsum('...jn,...n->...j', d.efc_J, qacc,
+                     **_EINSUM) - d.efc_aref
   force, qfrc_constraint, cost_c, quad = _update_constraint(m, d, jaref)
   cost = cost_c + _gauss_cost(m, d, qacc, ma)
   grad, mgrad = _update_gradient(m, d, (ma, qfrc_constraint, quad))
@@ -234,12 +324,12 @@ def solve(m: Model, d: Data) -> Data:
       qacc=qacc, Ma=ma, jaref=jaref, force=force,
       qfrc_constraint=qfrc_constraint, grad=grad, mgrad=mgrad,
       search=-mgrad, prev_grad=grad, prev_mgrad=mgrad, cost=cost,
-      prev_cost=jnp.full((), jnp.inf, dtype),
-      solver_niter=jnp.zeros((), jnp.int32),
-      done=jnp.zeros((), bool))
+      prev_cost=jnp.full(batch_shape, jnp.inf, dtype),
+      solver_niter=jnp.zeros(batch_shape, jnp.int32),
+      done=jnp.zeros(batch_shape, bool))
 
   # immediate convergence check on the initial gradient
-  gradient0 = _rescale(m, jnp.sqrt(jnp.sum(grad * grad)))
+  gradient0 = _rescale(m, jnp.sqrt(jnp.sum(grad * grad, axis=-1)))
   ctx = dataclasses.replace(ctx, done=gradient0 < m.opt.tolerance)
 
   ctx = jax.lax.while_loop(

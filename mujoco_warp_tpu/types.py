@@ -160,42 +160,76 @@ class ConstraintType(enum.IntEnum):
 
 
 class SensorType(enum.IntEnum):
-  """mjtSensor values for the subset we evaluate (extend as implemented)."""
-  MAGNETOMETER = 0
-  CAMPROJECTION = 1
-  RANGEFINDER = 2
-  JOINTPOS = 3
-  TENDONPOS = 4
-  ACTUATORPOS = 5
-  BALLQUAT = 6
-  FRAMEPOS = 7
-  FRAMEXAXIS = 8
-  FRAMEYAXIS = 9
-  FRAMEZAXIS = 10
-  FRAMEQUAT = 11
-  SUBTREECOM = 12
-  E_POTENTIAL = 13
-  E_KINETIC = 14
-  CLOCK = 15
-  VELOCIMETER = 16
-  GYRO = 17
-  JOINTVEL = 18
-  TENDONVEL = 19
-  ACTUATORVEL = 20
-  BALLANGVEL = 21
-  FRAMELINVEL = 22
-  FRAMEANGVEL = 23
-  SUBTREELINVEL = 24
-  SUBTREEANGMOM = 25
-  TOUCH = 26
-  ACCELEROMETER = 27
-  FORCE = 28
-  TORQUE = 29
-  ACTUATORFRC = 30
-  JOINTACTFRC = 31
-  FRAMELINACC = 32
-  FRAMEANGACC = 33
-  TENDONACTFRC = 34
+  """mjtSensor (values verified against mujoco.mjtSensor)."""
+  TOUCH = 0
+  ACCELEROMETER = 1
+  VELOCIMETER = 2
+  GYRO = 3
+  FORCE = 4
+  TORQUE = 5
+  MAGNETOMETER = 6
+  RANGEFINDER = 7
+  CAMPROJECTION = 8
+  JOINTPOS = 9
+  JOINTVEL = 10
+  TENDONPOS = 11
+  TENDONVEL = 12
+  ACTUATORPOS = 13
+  ACTUATORVEL = 14
+  ACTUATORFRC = 15
+  JOINTACTFRC = 16
+  TENDONACTFRC = 17
+  BALLQUAT = 18
+  BALLANGVEL = 19
+  JOINTLIMITPOS = 20
+  JOINTLIMITVEL = 21
+  JOINTLIMITFRC = 22
+  TENDONLIMITPOS = 23
+  TENDONLIMITVEL = 24
+  TENDONLIMITFRC = 25
+  FRAMEPOS = 26
+  FRAMEQUAT = 27
+  FRAMEXAXIS = 28
+  FRAMEYAXIS = 29
+  FRAMEZAXIS = 30
+  FRAMELINVEL = 31
+  FRAMEANGVEL = 32
+  FRAMELINACC = 33
+  FRAMEANGACC = 34
+  SUBTREECOM = 35
+  SUBTREELINVEL = 36
+  SUBTREEANGMOM = 37
+  INSIDESITE = 38
+  GEOMDIST = 39
+  GEOMNORMAL = 40
+  GEOMFROMTO = 41
+  CONTACT = 42
+  E_POTENTIAL = 43
+  E_KINETIC = 44
+  CLOCK = 45
+  TACTILE = 46
+  PLUGIN = 47
+  USER = 48
+
+
+class State(enum.IntFlag):
+  """mjtState component bitflags (reference types.py:598-638)."""
+  TIME = 1 << 0
+  QPOS = 1 << 1
+  QVEL = 1 << 2
+  ACT = 1 << 3
+  WARMSTART = 1 << 4
+  CTRL = 1 << 5
+  QFRC_APPLIED = 1 << 6
+  XFRC_APPLIED = 1 << 7
+  EQ_ACTIVE = 1 << 8
+  MOCAP_POS = 1 << 9
+  MOCAP_QUAT = 1 << 10
+  PHYSICS = QPOS | QVEL | ACT
+  FULLPHYSICS = TIME | PHYSICS
+  USER = CTRL | QFRC_APPLIED | XFRC_APPLIED | EQ_ACTIVE | MOCAP_POS | \
+      MOCAP_QUAT
+  INTEGRATION = FULLPHYSICS | USER | WARMSTART
 
 
 class ObjType(enum.IntEnum):
@@ -301,11 +335,13 @@ _MODEL_META = (
     'actuator_biastype', 'actuator_trnid', 'actuator_actadr',
     'actuator_actnum', 'actuator_ctrllimited', 'actuator_forcelimited',
     'actuator_actlimited', 'actuator_actearly',
-    'tendon_adr', 'tendon_num', 'tendon_limited', 'wrap_type', 'wrap_objid',
+    'tendon_adr', 'tendon_num', 'tendon_limited', 'tendon_hasfrictionloss',
+    'tendon_structure', 'wrap_type', 'wrap_objid',
     'sensor_type', 'sensor_datatype', 'sensor_objtype', 'sensor_objid',
     'sensor_reftype', 'sensor_refid', 'sensor_adr', 'sensor_dim',
     'sensor_needstage',
     # collision structure (precomputed filtered pairs, grouped by type pair)
+    'nkey',
     'collision_pairs',   # tuple of (type1, type2, tuple[(g1, g2, pairid)])
     'nxn_candidates',    # total candidate contact slots (static)
     'condim_max',
@@ -395,6 +431,8 @@ class Model:
   tendon_adr: IntTuple
   tendon_num: IntTuple
   tendon_limited: IntTuple
+  tendon_hasfrictionloss: IntTuple
+  tendon_structure: Tuple[Any, ...]
   wrap_type: IntTuple
   wrap_objid: IntTuple
   sensor_type: IntTuple
@@ -406,6 +444,7 @@ class Model:
   sensor_adr: IntTuple
   sensor_dim: IntTuple
   sensor_needstage: IntTuple
+  nkey: int
   collision_pairs: Tuple[Any, ...]
   nxn_candidates: int
   condim_max: int
@@ -480,6 +519,9 @@ class Model:
   actuator_length0: jax.Array
   tendon_solref_lim: jax.Array
   tendon_solimp_lim: jax.Array
+  tendon_solref_fri: jax.Array
+  tendon_solimp_fri: jax.Array
+  tendon_length0: jax.Array
   tendon_range: jax.Array
   tendon_margin: jax.Array
   tendon_stiffness: jax.Array
@@ -495,6 +537,14 @@ class Model:
   sensor_cutoff: jax.Array
   mocap_pos0: jax.Array
   mocap_quat0: jax.Array
+  # keyframes (reference types.py key_* fields)
+  key_time: jax.Array
+  key_qpos: jax.Array
+  key_qvel: jax.Array
+  key_act: jax.Array
+  key_ctrl: jax.Array
+  key_mpos: jax.Array
+  key_mquat: jax.Array
   # dense ancestry mask for CRB mass-matrix assembly: (nv, nv) 0/1,
   # mask[i, j] = 1 iff dof j is an ancestor (or self) of dof i.
   dof_ancestor_mask: jax.Array
@@ -506,6 +556,9 @@ class Model:
   # (nbody, nv) 0/1, 1 iff dof j is an ancestor dof of body b (incl. own).
   # Turns forward propagation (cvel, cacc sums) into one matmul.
   body_dof_ancestor_mask: jax.Array
+  # (nv, nv) strict-ancestor mask for cdof_dot partial velocities
+  # (see io._dof_vpre_mask) — com_vel as one matmul.
+  dof_vpre_mask: jax.Array
 
 
 # ---------------------------------------------------------------------------

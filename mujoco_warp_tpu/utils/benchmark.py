@@ -65,13 +65,18 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
   nworld = batch.qpos.shape[0]
   worldids = jnp.arange(nworld, dtype=jnp.int32)
 
+  from ..forward import step_batched
+
   def one_step(carry, _):
     d, step_i = carry
     noisy = jax.vmap(
         lambda c, w: ctrl_noise(m, c, w, step_i, ctrlnoise_std,
                                 ctrlnoise_rate))(d.ctrl, worldids)
     d = d.replace(ctrl=noisy)
-    d = jax.vmap(step_fn, in_axes=(None, 0))(m, d)
+    if step_fn is None:
+      d = step_batched(m, d)
+    else:
+      d = jax.vmap(step_fn, in_axes=(None, 0))(m, d)
     return (d, step_i + 1), None
 
   @jax.jit
