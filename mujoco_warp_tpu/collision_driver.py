@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import collision_convex
 from . import collision_primitive
-from .types import Data, DisableBit, Model
+from .types import Data, DisableBit, GeomType, Model
 
 
 def _candidate_params(m: Model, g1s: np.ndarray, g2s: np.ndarray,
@@ -75,15 +76,26 @@ def collision(m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   dists, poss, frames = [], [], []
   g1_list, g2_list, condim_list = [], [], []
+  geom_dataid = np.asarray(m.geom_dataid)
   for t1, t2, glist in m.collision_pairs:
-    fn = collision_primitive.COLLIDERS[(t1, t2)]
-    k = collision_primitive.MAX_CONTACTS[(t1, t2)]
+    fn = collision_primitive.COLLIDERS.get((t1, t2))
+    k = collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
+    needs_verts = GeomType.MESH in (t1, t2)
+    if fn is None:
+      fn = collision_convex.mpr(t1, t2)  # generic convex fallback
     g1s = np.array([g for g, _ in glist])
     g2s = np.array([g for _, g in glist])
+    args = [d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
+            d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]]
+    if needs_verts:
+      # hull vertex buffers for mesh geoms (zeros for non-mesh side)
+      def hull(gs, t):
+        if t != GeomType.MESH:
+          return jnp.zeros((len(gs), 1, 4), m.mesh_hullvert.dtype)
+        return m.mesh_hullvert[geom_dataid[gs]]
+      args += [hull(g1s, t1), hull(g2s, t2)]
     # one traced collider per type-pair group, vmapped over its pairs
-    dist_k, pos_k, frame_k = jax.vmap(fn)(
-        d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
-        d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s])
+    dist_k, pos_k, frame_k = jax.vmap(fn)(*args)
     dists.append(dist_k.reshape(-1))
     poss.append(pos_k.reshape(-1, 3))
     frames.append(frame_k.reshape(-1, 3, 3))

@@ -34,6 +34,7 @@ MAX_CONTACTS: dict[tuple[int, int], int] = {
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
     (GeomType.CAPSULE, GeomType.BOX): 2,
+    (GeomType.PLANE, GeomType.MESH): 4,
 }
 
 
@@ -262,6 +263,21 @@ def capsule_box(p1, m1, s1, p2, m2, s2):
   return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
 
 
+def plane_mesh(p1, m1, s1, p2, m2, s2, v1, v2):
+  """Plane vs convex mesh hull: the 4 deepest hull vertices
+  (reference's plane-convex path, collision_primitive.py)."""
+  n = m1[:, 2]
+  world = p2[None, :] + v2[:, :3] @ m2.T          # (V, 3)
+  dists = (world - p1[None, :]) @ n
+  dists = jnp.where(v2[:, 3] > 0, dists, 1e10)
+  _, idx = jax.lax.top_k(-dists, 4)
+  dist = dists[idx]
+  pts = world[idx]
+  pos = pts - 0.5 * dist[:, None] * n[None, :]
+  frame = jnp.broadcast_to(math.make_frame(n), (4, 3, 3))
+  return dist, pos, frame
+
+
 COLLIDERS = {
     (GeomType.PLANE, GeomType.SPHERE): plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): plane_capsule,
@@ -274,4 +290,5 @@ COLLIDERS = {
     (GeomType.SPHERE, GeomType.BOX): sphere_box,
     (GeomType.CAPSULE, GeomType.CAPSULE): capsule_capsule,
     (GeomType.CAPSULE, GeomType.BOX): capsule_box,
+    (GeomType.PLANE, GeomType.MESH): plane_mesh,
 }

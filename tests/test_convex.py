@@ -1,0 +1,112 @@
+"""MPR convex narrowphase vs C MuJoCo (nativeccd) oracle
+(reference collision_gjk_test.py strategy)."""
+
+import mujoco
+import numpy as np
+import pytest
+
+import mujoco_warp_tpu as mjwt
+
+from fixtures import fixture
+
+CUBE_MESH = """
+  <asset>
+    <mesh name="cube" vertex="-0.1 -0.1 -0.1  0.1 -0.1 -0.1
+      0.1 0.1 -0.1  -0.1 0.1 -0.1  -0.1 -0.1 0.1  0.1 -0.1 0.1
+      0.1 0.1 0.1  -0.1 0.1 0.1"/>
+  </asset>
+"""
+
+WEDGE_MESH = """
+  <asset>
+    <mesh name="wedge" vertex="-0.1 -0.1 0  0.1 -0.1 0  0.1 0.1 0
+      -0.1 0.1 0  0 0 0.15"/>
+  </asset>
+"""
+
+
+def _xml(assets, geom1, geom2, pos2, euler2='0 0 0'):
+  return f"""
+  <mujoco>
+    <option timestep="0.002"/>
+    {assets}
+    <worldbody>
+      <body><geom {geom1}/></body>
+      <body pos="{pos2}" euler="{euler2}"><freejoint/><geom {geom2}/></body>
+    </worldbody>
+  </mujoco>
+  """
+
+
+CASES = [
+    ('cyl_box', '', 'type="box" size="0.2 0.2 0.1" pos="0 0 0.1"',
+     'type="cylinder" size="0.06 0.1" mass="0.5"', '0 0 0.28', '5 3 0'),
+    ('cyl_cyl', '', 'type="cylinder" size="0.1 0.15" pos="0 0 0.15"',
+     'type="cylinder" size="0.08 0.1" mass="0.5"', '0.05 0 0.38', '15 0 0'),
+    ('ell_box', '', 'type="box" size="0.2 0.2 0.1" pos="0 0 0.1"',
+     'type="ellipsoid" size="0.08 0.06 0.1" mass="0.5"', '0.03 0 0.28',
+     '10 20 0'),
+    ('ell_ell', '', 'type="ellipsoid" size="0.1 0.12 0.15" pos="0 0 0.15"',
+     'type="ellipsoid" size="0.08 0.06 0.1" mass="0.5"', '0.02 0.03 0.37',
+     '0 25 10'),
+    ('cap_cyl', '', 'type="cylinder" size="0.1 0.15" pos="0 0 0.15"',
+     'type="capsule" size="0.04 0.1" mass="0.5"', '0.04 0 0.35', '0 80 0'),
+    ('cap_ell', '', 'type="ellipsoid" size="0.1 0.1 0.14" pos="0 0 0.14"',
+     'type="capsule" size="0.04 0.1" mass="0.5"', '0.02 0 0.31', '0 85 0'),
+    ('mesh_plane', CUBE_MESH, 'type="plane" size="2 2 1"',
+     'type="mesh" mesh="cube" mass="1"', '0 0 0.095', '0 0 0'),
+    ('mesh_plane_tilt', CUBE_MESH, 'type="plane" size="2 2 1"',
+     'type="mesh" mesh="cube" mass="1"', '0 0 0.15', '30 15 0'),
+    ('mesh_box', CUBE_MESH, 'type="box" size="0.3 0.3 0.1" pos="0 0 0.1"',
+     'type="mesh" mesh="cube" mass="1"', '0.02 0 0.29', '5 5 0'),
+    ('mesh_sphere', WEDGE_MESH,
+     'type="sphere" size="0.1" pos="0 0 0.1"',
+     'type="mesh" mesh="wedge" mass="1"', '0 0 0.17', '0 0 0'),
+]
+
+
+@pytest.mark.parametrize('name,assets,g1,g2,pos2,euler2', CASES,
+                         ids=[c[0] for c in CASES])
+def test_convex_depth(name, assets, g1, g2, pos2, euler2):
+  """Deepest penetration matches C MuJoCo's nativeccd within MPR's
+  portal-approximation tolerance."""
+  xml = _xml(assets, g1, g2, pos2, euler2)
+  mjm, mjd, m, d = fixture(xml)
+  assert mjd.ncon > 0, f'{name}: oracle must collide'
+  d = mjwt.fwd_position(m, d)
+  n = int(d.ncon)
+  assert n > 0, f'{name}: no contacts (ref {mjd.ncon})'
+  ours = np.sort(np.asarray(d.contact.dist)[:n])[0]
+  ref = np.sort(mjd.contact.dist)[0]
+  np.testing.assert_allclose(ours, ref, atol=4e-3,
+                             err_msg=f'{name} deepest dist')
+
+
+@pytest.mark.parametrize('name,assets,g1,g2,pos2,euler2', CASES,
+                         ids=[c[0] for c in CASES])
+def test_convex_normal(name, assets, g1, g2, pos2, euler2):
+  """Contact normal of the deepest contact roughly matches the oracle."""
+  xml = _xml(assets, g1, g2, pos2, euler2)
+  mjm, mjd, m, d = fixture(xml)
+  d = mjwt.fwd_position(m, d)
+  n = int(d.ncon)
+  i_ours = int(np.argmin(np.asarray(d.contact.dist)[:n]))
+  i_ref = int(np.argmin(mjd.contact.dist))
+  n_ours = np.asarray(d.contact.frame)[i_ours, 0]
+  n_ref = mjd.contact.frame.reshape(-1, 3, 3)[i_ref, 0]
+  cosang = abs(float(n_ours @ n_ref))
+  assert cosang > 0.95, f'{name}: normal misaligned (cos {cosang:.3f})'
+
+
+def test_mesh_settles_on_plane():
+  xml = _xml(CUBE_MESH, 'type="plane" size="2 2 1"',
+             'type="mesh" mesh="cube" mass="1"', '0 0 0.0999', '0 0 0')
+  mjm, mjd, m, d = fixture(xml)
+  import jax
+  step = jax.jit(lambda dd: mjwt.step(m, dd))
+  for _ in range(200):
+    d = step(d)
+  q = np.asarray(d.qpos)
+  assert not np.any(np.isnan(q))
+  assert abs(q[2] - 0.1) < 0.01
+  assert q[3] > 0.99  # stays upright

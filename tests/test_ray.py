@@ -1,0 +1,71 @@
+"""Ray casting oracle tests against C mj_ray (reference ray_test.py)."""
+
+import mujoco
+import numpy as np
+
+import mujoco_warp_tpu as mjwt
+from mujoco_warp_tpu import ray as ray_mod
+
+from fixtures import fixture
+
+SCENE = """
+<mujoco>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 1"/>
+    <body pos="0 0 0.5">
+      <freejoint/>
+      <geom name="ball" type="sphere" size="0.15" mass="1"/>
+    </body>
+    <body pos="1 0 0.4" euler="30 0 0">
+      <freejoint/>
+      <geom name="box" type="box" size="0.2 0.15 0.1" mass="1"/>
+    </body>
+    <body pos="-1 0 0.5" euler="0 40 0">
+      <freejoint/>
+      <geom name="cap" type="capsule" size="0.08 0.2" mass="1"/>
+    </body>
+    <body pos="0 1 0.5">
+      <freejoint/>
+      <geom name="cyl" type="cylinder" size="0.1 0.2" mass="1"/>
+    </body>
+    <body pos="0 -1 0.5" euler="20 30 0">
+      <freejoint/>
+      <geom name="ell" type="ellipsoid" size="0.1 0.15 0.2" mass="1"/>
+    </body>
+    <site name="rf" pos="0 0 2" euler="180 0 0"/>
+  </worldbody>
+  <sensor><rangefinder site="rf"/></sensor>
+</mujoco>
+"""
+
+
+def test_rays_match_oracle():
+  mjm, mjd, m, d = fixture(SCENE)
+  d = mjwt.fwd_position(m, d)
+  rng = np.random.default_rng(3)
+  for _ in range(50):
+    pnt = np.array([rng.uniform(-2, 2), rng.uniform(-2, 2),
+                    rng.uniform(0.3, 3)])
+    tgt = np.array([rng.uniform(-1.5, 1.5), rng.uniform(-1.5, 1.5),
+                    rng.uniform(0, 0.8)])
+    vec = tgt - pnt
+    vec /= np.linalg.norm(vec)
+    geomid_ref = np.zeros(1, dtype=np.int32)
+    t_ref = mujoco.mj_ray(mjm, mjd, pnt, vec, None, 1, -1, geomid_ref)
+    gid, t = ray_mod.ray(m, d, pnt.astype(np.float32),
+                         vec.astype(np.float32))
+    if t_ref < 0:
+      assert float(t) < 0, f'{pnt} {vec}: ref miss, we hit {float(t)}'
+    else:
+      np.testing.assert_allclose(float(t), t_ref, rtol=1e-4, atol=1e-4,
+                                 err_msg=f'{pnt} {vec}')
+      assert int(gid) == int(geomid_ref[0])
+
+
+def test_rangefinder():
+  mjm, mjd, m, d = fixture(SCENE)
+  d = mjwt.forward(m, d)
+  # site at z=2 looking down (-z): first hit = ball top at 0.65
+  adr = mjm.sensor_adr[0]
+  np.testing.assert_allclose(float(d.sensordata[adr]),
+                             mjd.sensordata[adr], rtol=1e-4, atol=1e-4)
