@@ -78,6 +78,30 @@ def collision(m: Model, d: Data) -> Data:
   g1_list, g2_list, condim_list = [], [], []
   geom_dataid = np.asarray(m.geom_dataid)
   for t1, t2, glist in m.collision_pairs:
+    if t1 == GeomType.HFIELD:
+      # per-hfield-geom subgroups (static grid shape per collider)
+      from . import collision_hfield
+      k = collision_hfield._NCONH
+      by_h = {}
+      for g1, g2 in glist:
+        by_h.setdefault(g1, []).append(g2)
+      for g1, g2list in sorted(by_h.items()):
+        hid = m.geom_dataid[g1]
+        fn = collision_hfield.hfield_collider(
+            m, hid, m.hfield_nrow[hid], m.hfield_ncol[hid], t2)
+        g2s = np.array(g2list)
+        dist_k, pos_k, frame_k = jax.vmap(
+            fn, in_axes=(None, None, None, 0, 0, 0))(
+            d.geom_xpos[g1], d.geom_xmat[g1], m.hfield_size[hid],
+            d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s])
+        dists.append(dist_k.reshape(-1))
+        poss.append(pos_k.reshape(-1, 3))
+        frames.append(frame_k.reshape(-1, 3, 3))
+        for g2 in g2list:
+          g1_list += [g1] * k
+          g2_list += [g2] * k
+          condim_list += [_static_condim(m, g1, g2)] * k
+      continue
     fn = collision_primitive.COLLIDERS.get((t1, t2))
     k = collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
     needs_verts = GeomType.MESH in (t1, t2)

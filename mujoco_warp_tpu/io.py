@@ -194,7 +194,11 @@ def _collision_pairs(mjm: mujoco.MjModel):
       t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
       gg1, gg2 = (g1, g2) if t1 <= t2 else (g2, g1)
       key = geom_pair_key(t1, t2)
-      supported = (key in collision_primitive.MAX_CONTACTS or
+      hfield_ok = key[0] == types.GeomType.HFIELD and key[1] in (
+          types.GeomType.SPHERE, types.GeomType.CAPSULE,
+          types.GeomType.BOX, types.GeomType.ELLIPSOID,
+          types.GeomType.CYLINDER)
+      supported = (key in collision_primitive.MAX_CONTACTS or hfield_ok or
                    (key[0] in collision_convex.SUPPORT and
                     key[1] in collision_convex.SUPPORT))
       if not supported:
@@ -204,9 +208,13 @@ def _collision_pairs(mjm: mujoco.MjModel):
       npairs += 1
   pairs = tuple(
       (k[0], k[1], tuple(v)) for k, v in sorted(groups.items()))
-  ncand = sum(
-      collision_primitive.MAX_CONTACTS.get((t1, t2), 1) * len(v)
-      for t1, t2, v in pairs)
+
+  def _k(t1, t2):
+    if t1 == types.GeomType.HFIELD:
+      return 4  # collision_hfield._NCONH
+    return collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
+
+  ncand = sum(_k(t1, t2) * len(v) for t1, t2, v in pairs)
   return pairs, ncand
 
 
@@ -248,6 +256,20 @@ def _tendon_structure(mjm: mujoco.MjModel) -> tuple:
           raise NotImplementedError(f'wrap type {w}')
       out.append(('spatial', tuple(ops)))
   return tuple(out)
+
+
+def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
+  """(nhfield, max_nrow, max_ncol) padded normalized height grids."""
+  if mjm.nhfield == 0:
+    return np.zeros((0, 1, 1), dtype=np.float32)
+  rmax = int(mjm.hfield_nrow.max())
+  cmax = int(mjm.hfield_ncol.max())
+  out = np.zeros((mjm.nhfield, rmax, cmax), dtype=np.float32)
+  for i in range(mjm.nhfield):
+    nr, nc = int(mjm.hfield_nrow[i]), int(mjm.hfield_ncol[i])
+    adr = int(mjm.hfield_adr[i])
+    out[i, :nr, :nc] = mjm.hfield_data[adr:adr + nr * nc].reshape(nr, nc)
+  return out
 
 
 def put_model(mjm: mujoco.MjModel) -> Model:
@@ -488,6 +510,11 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       nkey=mjm.nkey,
       nmesh=mjm.nmesh,
       mesh_hullvert=_jp(_mesh_hulls(mjm)),
+      nhfield=mjm.nhfield,
+      hfield_nrow=_tup(mjm.hfield_nrow),
+      hfield_ncol=_tup(mjm.hfield_ncol),
+      hfield_data=_jp(_hfield_data(mjm)),
+      hfield_size=_jp(mjm.hfield_size),
       key_time=_jp(mjm.key_time),
       key_qpos=_jp(mjm.key_qpos),
       key_qvel=_jp(mjm.key_qvel),

@@ -18,9 +18,15 @@ import jax
 import jax.numpy as jnp
 
 
+_UNROLL_MAX = 32  # above this, unrolling blows up compile time; use
+                  # the library factorization (XLA custom call)
+
+
 def cholesky(a: jax.Array) -> jax.Array:
   """Lower Cholesky factor of SPD (n, n), unrolled column-by-column."""
   n = a.shape[-1]
+  if n > _UNROLL_MAX:
+    return jnp.linalg.cholesky(a)
   cols = []
   for j in range(n):
     s = a[:, j]
@@ -60,6 +66,8 @@ def solve_upper_t(l: jax.Array, b: jax.Array) -> jax.Array:
 
 def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
   """Solve A x = b given A's lower Cholesky factor."""
+  if l.shape[-1] > _UNROLL_MAX:
+    return jax.scipy.linalg.cho_solve((l, True), b[..., None])[..., 0]
   return solve_upper_t(l, solve_lower(l, b))
 
 

@@ -10,3 +10,6 @@ def path(name: str) -> str:
 
 
 HUMANOID = path('humanoid')
+THREE_HUMANOIDS = path('three_humanoids')
+BOXES = path('boxes')
+ARM = path('arm')

@@ -237,26 +237,73 @@ def com_pos(m: Model, d: Data) -> Data:
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
+def _lookat(pos, target):
+  """Camera matrix with -z toward target, like mj_camlight's target
+  modes."""
+  z = math.normalize(pos - target)            # camera looks along -z
+  up = jnp.array([0.0, 0.0, 1.0], pos.dtype)
+  x = jnp.cross(up, z)
+  xn = math.norm(x)
+  x = jnp.where(xn < 1e-8, jnp.array([1.0, 0.0, 0.0], pos.dtype),
+                x / jnp.where(xn < 1e-8, 1.0, xn))
+  y = jnp.cross(z, x)
+  return jnp.stack([x, y, z], axis=1)
+
+
 def camlight(m: Model, d: Data) -> Data:
-  """Camera/light frames (reference smooth.py:762). Fixed-mode only for
-  now; tracking modes to follow."""
+  """Camera/light frames incl. tracking modes
+  (reference smooth.py:762; C mj_camlight). mjtCamLight:
+  0=FIXED, 1=TRACK, 2=TRACKCOM, 3=TARGETBODY, 4=TARGETBODYCOM."""
   if m.ncam == 0 and m.nlight == 0:
     return d
   if m.ncam:
     bodyid = list(m.cam_bodyid)
     bq = d.xquat[bodyid, :]
-    cam_xpos = d.xpos[bodyid, :] + jax.vmap(math.rot_vec_quat)(m.cam_pos, bq)
-    cam_xmat = jax.vmap(math.quat_to_mat)(
-        jax.vmap(math.mul_quat)(bq, m.cam_quat))
-    d = d.replace(cam_xpos=cam_xpos, cam_xmat=cam_xmat)
+    pos = d.xpos[bodyid, :] + jax.vmap(math.rot_vec_quat)(m.cam_pos, bq)
+    mat = jax.vmap(math.quat_to_mat)(jax.vmap(math.mul_quat)(bq,
+                                                             m.cam_quat))
+    poss, mats = [], []
+    for c in range(m.ncam):
+      mode = m.cam_mode[c]
+      b = m.cam_bodyid[c]
+      tb = m.cam_targetbodyid[c]
+      p, R = pos[c], mat[c]
+      if mode == 1:    # TRACK: world-fixed orientation, offset from body
+        p = d.xpos[b] + m.cam_pos0[c]
+        R = m.cam_mat0[c]
+      elif mode == 2:  # TRACKCOM
+        p = d.subtree_com[b] + m.cam_poscom0[c]
+        R = m.cam_mat0[c]
+      if mode in (3, 4) and tb >= 0:
+        target = d.subtree_com[tb] if mode == 4 else d.xpos[tb]
+        R = _lookat(p, target)
+      poss.append(p)
+      mats.append(R)
+    d = d.replace(cam_xpos=jnp.stack(poss), cam_xmat=jnp.stack(mats))
   if m.nlight:
     bodyid = list(m.light_bodyid)
     bq = d.xquat[bodyid, :]
     light_xpos = d.xpos[bodyid, :] + jax.vmap(math.rot_vec_quat)(
         m.light_pos, bq)
     light_xdir = jax.vmap(math.rot_vec_quat)(m.light_dir, bq)
-    d = d.replace(light_xpos=light_xpos,
-                  light_xdir=jax.vmap(math.normalize)(light_xdir))
+    poss, dirs = [], []
+    for c in range(m.nlight):
+      mode = m.light_mode[c]
+      b = m.light_bodyid[c]
+      tb = m.light_targetbodyid[c]
+      p, dr = light_xpos[c], light_xdir[c]
+      if mode == 1:
+        p = d.xpos[b] + m.light_pos0[c]
+        dr = m.light_dir0[c]
+      elif mode == 2:
+        p = d.subtree_com[b] + m.light_poscom0[c]
+        dr = m.light_dir0[c]
+      if mode in (3, 4) and tb >= 0:
+        target = d.subtree_com[tb] if mode == 4 else d.xpos[tb]
+        dr = target - p
+      poss.append(p)
+      dirs.append(math.normalize(dr))
+    d = d.replace(light_xpos=jnp.stack(poss), light_xdir=jnp.stack(dirs))
   return d
 
 

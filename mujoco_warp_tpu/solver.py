@@ -57,10 +57,13 @@ class _Ctx:
 
 def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
   """SPD solve, dispatched: Pallas lane-batched kernel on TPU for
-  batched inputs, unrolled scalar version otherwise."""
+  batched inputs, unrolled scalar version otherwise (LAPACK-style
+  jnp.linalg above nv=32, where unrolling blows up compile time)."""
   if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 64:
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b)
+  if a.shape[-1] > 32:
+    return jnp.linalg.solve(a, b[..., None])[..., 0]
   if a.ndim == 3:
     return jax.vmap(linalg.spd_solve)(a, b)
   return linalg.spd_solve(a, b)
@@ -71,6 +74,10 @@ def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
   if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 64:
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b, return_factor=True)
+  if a.shape[-1] > 32:
+    l = jnp.linalg.cholesky(a)
+    x = jax.scipy.linalg.cho_solve((l, True), b[..., None])[..., 0]
+    return x, l
   if a.ndim == 3:
     l = jax.vmap(linalg.cholesky)(a)
     return jax.vmap(linalg.cho_solve)(l, b), l
@@ -82,6 +89,8 @@ def cho_solve(m: Model, l: jax.Array, b: jax.Array) -> jax.Array:
   if l.ndim == 3 and jax.default_backend() == 'tpu' and l.shape[-1] <= 64:
     from .pallas import batch_linalg
     return batch_linalg.cho_solve_batched(l, b)
+  if l.shape[-1] > 32:
+    return jax.scipy.linalg.cho_solve((l, True), b[..., None])[..., 0]
   if l.ndim == 3:
     return jax.vmap(linalg.cho_solve)(l, b)
   return linalg.cho_solve(l, b)

@@ -1,0 +1,116 @@
+"""mjwarp-tpu-testspeed: benchmark CLI (reference: mujoco_warp/
+testspeed.py). Loads an MJCF, applies string overrides, steps a world
+batch with OU-Halton ctrl noise, and reports the reference's metric
+shape (steps/s, jit time, ncon/nefc stats, solver iterations, per-stage
+times, memory) as human text or one-line JSON.
+
+Usage:
+  python -m mujoco_warp_tpu.testspeed PATH.xml [--nworld N] [--nstep N]
+      [--nconmax N] [-o opt.solver=cg ...] [--output human|json]
+      [--event_trace] [--keyframe K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+
+def _stage_times(m, batch, nrep=20):
+  """Per-stage isolated timings (stage boundaries force materialization,
+  so these exceed their fused share — ratios matter; the reference's
+  event_trace has the same caveat at stage granularity)."""
+  from . import forward as fwd
+  from . import sensor as sensor_mod
+  from . import solver as solver_mod
+
+  out = {}
+
+  def timeit(name, fn, arg):
+    jitted = jax.jit(fn)
+    res = jitted(arg)
+    jax.block_until_ready(jax.tree_util.tree_leaves(res)[0])
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+      res = jitted(arg)
+    jax.block_until_ready(jax.tree_util.tree_leaves(res)[0])
+    out[name] = (time.perf_counter() - t0) / nrep * 1e6
+    return res
+
+  vm = lambda f, **kw: (lambda b: jax.vmap(lambda dd: f(m, dd, **kw))(b))
+  b = timeit('step.forward.fwd_position', vm(fwd.fwd_position), batch)
+  b = timeit('step.forward.sensor_pos', vm(sensor_mod.sensor_pos), b)
+  b = timeit('step.forward.fwd_velocity', vm(fwd.fwd_velocity), b)
+  b = timeit('step.forward.fwd_actuation', vm(fwd.fwd_actuation), b)
+  b = timeit('step.forward.fwd_acceleration',
+             lambda bb: fwd._fwd_acceleration_batched(m, bb), b)
+  b = timeit('step.forward.solve', lambda bb: solver_mod.solve(m, bb), b)
+  return out
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument('mjcf')
+  p.add_argument('--nworld', type=int, default=8192)
+  p.add_argument('--nstep', type=int, default=1000)
+  p.add_argument('--nconmax', type=int, default=None)
+  p.add_argument('-o', '--override', action='append', default=[])
+  p.add_argument('--output', choices=('human', 'json'), default='human')
+  p.add_argument('--event_trace', action='store_true')
+  p.add_argument('--keyframe', type=int, default=None)
+  p.add_argument('--ctrlnoise_std', type=float, default=0.01)
+  args = p.parse_args(argv)
+
+  import mujoco_warp_tpu as mjwt
+  from mujoco_warp_tpu import parallel
+  from mujoco_warp_tpu.utils.benchmark import benchmark
+
+  mjm = mujoco.MjModel.from_xml_path(args.mjcf)
+  m = mjwt.put_model(mjm)
+  if args.override:
+    from mujoco_warp_tpu import io as io_mod
+    m = io_mod.override_model(m, args.override)
+  d = mjwt.make_data(m, nconmax=args.nconmax)
+  if args.keyframe is not None:
+    from mujoco_warp_tpu import io as io_mod
+    d = io_mod.reset_data(m, d, keyframe=args.keyframe)
+  batch = parallel.make_batch(m, d, args.nworld)
+  mesh = parallel.make_mesh()
+  batch = parallel.shard_batch(batch, mesh)
+
+  metrics = benchmark(None, m, batch, nstep=args.nstep,
+                      ctrlnoise_std=args.ctrlnoise_std)
+  final = metrics.pop('final')
+
+  # memory report (reference testspeed.py:101-141)
+  def nbytes(tree):
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, 'size'))
+  metrics['model_memory_mb'] = round(nbytes(m) / 1e6, 2)
+  metrics['data_memory_mb'] = round(nbytes(final) / 1e6, 2)
+  metrics['nefc_mean'] = float(jnp.mean(final.nefc))
+  metrics['ncon_p95'] = float(jnp.percentile(
+      final.ncon.astype(jnp.float32), 95))
+  metrics['solver_niter_p95'] = float(jnp.percentile(
+      final.solver_niter.astype(jnp.float32), 95))
+
+  if args.event_trace:
+    metrics['event_trace_us'] = {k: round(v, 1) for k, v in
+                                 _stage_times(m, batch).items()}
+
+  if args.output == 'json':
+    print(json.dumps(metrics))
+  else:
+    for k, v in metrics.items():
+      print(f'{k:28s} {v}')
+
+
+if __name__ == '__main__':
+  main()

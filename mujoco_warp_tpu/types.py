@@ -341,7 +341,7 @@ _MODEL_META = (
     'sensor_reftype', 'sensor_refid', 'sensor_adr', 'sensor_dim',
     'sensor_needstage',
     # collision structure (precomputed filtered pairs, grouped by type pair)
-    'nkey', 'nmesh',
+    'nkey', 'nmesh', 'nhfield', 'hfield_nrow', 'hfield_ncol',
     'collision_pairs',   # tuple of (type1, type2, tuple[(g1, g2, pairid)])
     'nxn_candidates',    # total candidate contact slots (static)
     'condim_max',
@@ -447,6 +447,9 @@ class Model:
   sensor_needstage: IntTuple
   nkey: int
   nmesh: int
+  nhfield: int
+  hfield_nrow: IntTuple
+  hfield_ncol: IntTuple
   collision_pairs: Tuple[Any, ...]
   nxn_candidates: int
   condim_max: int
@@ -550,6 +553,9 @@ class Model:
   key_mquat: jax.Array
   # (nmesh, VMAX, 4) padded convex-hull vertices, geom frame (xyz+valid)
   mesh_hullvert: jax.Array
+  # (nhfield, max_nrow, max_ncol) normalized heights + (nhfield, 4) size
+  hfield_data: jax.Array
+  hfield_size: jax.Array
   # dense ancestry mask for CRB mass-matrix assembly: (nv, nv) 0/1,
   # mask[i, j] = 1 iff dof j is an ancestor (or self) of dof i.
   dof_ancestor_mask: jax.Array
