@@ -236,9 +236,12 @@ def make_constraint(m: Model, d: Data) -> Data:
   for t in range(m.ntendon):
     if not m.tendon_hasfrictionloss[t]:
       continue
+    # note: d.ten_velocity is a *velocity-stage* product; constraint
+    # assembly runs in the position stage, so project qvel directly
+    tvel = d.ten_J[t] @ d.qvel
     rows.append(_row(m, d.ten_J[t], 0.0, 0.0, m.tendon_invweight0[t],
                      m.tendon_solref_fri[t], m.tendon_solimp_fri[t], 0.0,
-                     d.ten_velocity[t], m.tendon_frictionloss[t],
+                     tvel, m.tendon_frictionloss[t],
                      ConstraintType.FRICTION_TENDON, t, not fr_disabled))
 
   # --- joint limits ----------------------------------------------------------
@@ -299,9 +302,10 @@ def make_constraint(m: Model, d: Data) -> Data:
     active = (pos < 0) & (not lim_disabled)
     sign = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
     J = sign * d.ten_J[t]
+    tvel = d.ten_J[t] @ d.qvel
     rows.append(_row(m, J, pos, pos, m.tendon_invweight0[t],
                      m.tendon_solref_lim[t], m.tendon_solimp_lim[t],
-                     tmargin, sign * d.ten_velocity[t], 0.0,
+                     tmargin, sign * tvel, 0.0,
                      ConstraintType.LIMIT_TENDON, t, active))
 
   static = _stack(rows, nv, dtype) if rows else None

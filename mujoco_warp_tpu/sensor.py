@@ -30,7 +30,20 @@ SUPPORTED_SENSORS = {
     SensorType.FRAMELINACC, SensorType.FRAMEANGACC, SensorType.TOUCH,
     SensorType.MAGNETOMETER, SensorType.E_POTENTIAL, SensorType.E_KINETIC,
     SensorType.RANGEFINDER,
+    SensorType.JOINTLIMITPOS, SensorType.JOINTLIMITVEL,
+    SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITPOS,
+    SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
+    SensorType.TENDONACTFRC,
 }
+
+
+def _limit_row(m, d, ctype, objid, field):
+  """Read a value off the (statically-addressed) limit efc row of a
+  joint/tendon via masking; 0 when the row is inactive."""
+  from .types import ConstraintType
+  mask = (d.efc_type == int(ctype)) & (d.efc_id == objid) & d.efc_active
+  maskf = mask.astype(d.qpos.dtype)
+  return jnp.sum(field * maskf)
 
 
 def _obj_frame(m: Model, d: Data, objtype: int, objid: int):
@@ -122,6 +135,14 @@ def sensor_pos(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, q)
     elif stype == SensorType.SUBTREECOM:
       sd = _write(sd, adr, d.subtree_com[objid])
+    elif stype == SensorType.JOINTLIMITPOS:
+      from .types import ConstraintType
+      sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_JOINT,
+                                      objid, d.efc_pos - d.efc_margin))
+    elif stype == SensorType.TENDONLIMITPOS:
+      from .types import ConstraintType
+      sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_TENDON,
+                                      objid, d.efc_pos - d.efc_margin))
     elif stype == SensorType.RANGEFINDER:
       from . import ray as ray_mod
       pos, mat = _obj_frame(m, d, objtype, objid)
@@ -195,6 +216,14 @@ def sensor_vel(m: Model, d: Data) -> Data:
     elif stype == SensorType.E_KINETIC:
       d2 = energy_vel(m, d)
       sd = _write(sd, adr, d2.energy[1])
+    elif stype == SensorType.JOINTLIMITVEL:
+      from .types import ConstraintType
+      sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_JOINT,
+                                      objid, d.efc_vel))
+    elif stype == SensorType.TENDONLIMITVEL:
+      from .types import ConstraintType
+      sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_TENDON,
+                                      objid, d.efc_vel))
     else:
       raise NotImplementedError(f'vel sensor {stype}')
   return d.replace(sensordata=sd)
@@ -224,6 +253,23 @@ def sensor_acc(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, d.actuator_force[objid])
     elif stype == SensorType.JOINTACTFRC:
       sd = _write(sd, adr, d.qfrc_actuator[m.jnt_dofadr[objid]])
+    elif stype == SensorType.JOINTLIMITFRC:
+      from .types import ConstraintType
+      sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_JOINT,
+                                      objid, d.efc_force))
+    elif stype == SensorType.TENDONLIMITFRC:
+      from .types import ConstraintType
+      sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_TENDON,
+                                      objid, d.efc_force))
+    elif stype == SensorType.TENDONACTFRC:
+      # sum of actuator forces transmitted to this tendon
+      total = jnp.zeros((), d.qpos.dtype)
+      from .types import TrnType
+      for u in range(m.nu):
+        if (m.actuator_trntype[u] == TrnType.TENDON and
+            m.actuator_trnid[u][0] == objid):
+          total = total + d.actuator_force[u]
+      sd = _write(sd, adr, total)
     elif stype == SensorType.ACCELEROMETER:
       pos, mat = _obj_frame(m, d, objtype, objid)
       acc, _ = support.object_acceleration(m, d, objtype, objid)
