@@ -28,7 +28,10 @@ def main():
 
   mjm = mujoco.MjModel.from_xml_path(models.HUMANOID)
   m = mjwt.put_model(mjm)
-  d = mjwt.make_data(m, nconmax=24)
+  # per-world contact pool: observed max is 8 on this protocol; 16 keeps
+  # 2x headroom and njmax=84 rows/world (reference config runs njmax=64,
+  # benchmarks/README.md:56)
+  d = mjwt.make_data(m, nconmax=int(os.environ.get('BENCH_NCONMAX', 16)))
   batch = parallel.make_batch(m, d, nworld)
 
   # shard over all local devices (one chip locally; a pod slice scales

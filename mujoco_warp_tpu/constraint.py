@@ -369,19 +369,31 @@ def _contact_rows_all(m: Model, d: Data, stride: int):
 
   frame = con.frame                                 # (C, 3, 3)
   cpos = con.pos                                    # (C, 3)
-  jac_v = jax.vmap(support.jac_dyn, in_axes=(None, None, 0, 0))
-  jacp1, jacr1 = jac_v(m, d, cpos, b1)              # (C, 3, nv)
-  jacp2, jacr2 = jac_v(m, d, cpos, b2)
-  jacp = jacp2 - jacp1
-  jacr = jacr2 - jacr1
-  jn = jnp.einsum('ci,cin->cn', frame[:, 0], jacp, **_EINSUM)  # (C, nv)
-  jdirs = jnp.stack([
-      jnp.einsum('ci,cin->cn', frame[:, 1], jacp, **_EINSUM),
-      jnp.einsum('ci,cin->cn', frame[:, 2], jacp, **_EINSUM),
-      jnp.einsum('ci,cin->cn', frame[:, 0], jacr, **_EINSUM),
-      jnp.einsum('ci,cin->cn', frame[:, 1], jacr, **_EINSUM),
-      jnp.einsum('ci,cin->cn', frame[:, 2], jacr, **_EINSUM),
-  ], axis=1)                                        # (C, 5, nv)
+  # Projected contact jacobians WITHOUT materializing (C, 3, nv)
+  # point-jacobians (4 x 63MB at 8192x24 worlds x contacts): for a frame
+  # row f,   f . jacp_b[:, n] = mask_b[n] (f.L[n] - (f x off_b).A[n])
+  # (triple-product identity), so everything reduces to (C, 3)x(3, nv)
+  # matmuls and (C, nv) elementwise combines.
+  A = d.cdof[:, :3]                                 # (nv, 3) angular
+  L = d.cdof[:, 3:]                                 # (nv, 3) linear
+  rootid = jnp.asarray(m.body_rootid)
+  off1 = cpos - d.subtree_com[rootid[b1]]           # (C, 3)
+  off2 = cpos - d.subtree_com[rootid[b2]]
+  mask1 = m.body_dof_ancestor_mask[b1]              # (C, nv)
+  mask2 = m.body_dof_ancestor_mask[b2]
+  dm = mask2 - mask1
+  FL = jnp.einsum('cri,ni->crn', frame, L, **_EINSUM)   # (C, 3, nv)
+  FA = jnp.einsum('cri,ni->crn', frame, A, **_EINSUM)
+  q1 = jnp.cross(frame, off1[:, None, :])           # (C, 3r, 3)
+  q2 = jnp.cross(frame, off2[:, None, :])
+  QA1 = jnp.einsum('cri,ni->crn', q1, A, **_EINSUM)
+  QA2 = jnp.einsum('cri,ni->crn', q2, A, **_EINSUM)
+  # f_r . jacp_diff and f_r . jacr_diff for all three frame rows
+  jp = (mask2[:, None, :] * (FL - QA2) -
+        mask1[:, None, :] * (FL - QA1))             # (C, 3, nv)
+  jr = dm[:, None, :] * FA
+  jn = jp[:, 0]                                     # (C, nv)
+  jdirs = jnp.concatenate([jp[:, 1:3], jr], axis=1)  # (C, 5, nv)
 
   invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]   # (C,)
   friction = con.friction                           # (C, 5)

@@ -191,8 +191,12 @@ def forward(m: Model, d: Data) -> Data:
   """Full forward dynamics (reference forward.py:973)."""
   d = fwd_position(m, d)
   d = sensor_mod.sensor_pos(m, d)
+  if m.opt.enableflags & 2:  # EnableBit.ENERGY
+    d = sensor_mod.energy_pos(m, d)
   d = fwd_velocity(m, d)
   d = sensor_mod.sensor_vel(m, d)
+  if m.opt.enableflags & 2:
+    d = sensor_mod.energy_vel(m, d)
   d = fwd_actuation(m, d)
   d = fwd_acceleration(m, d)
   d = solver_mod.solve(m, d)

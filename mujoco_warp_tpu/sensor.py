@@ -78,6 +78,27 @@ def _write(sensordata, adr, value):
   return sensordata.at[adr:adr + value.shape[0]].set(value)
 
 
+def _apply_cutoff(m: Model, sd, stage: int):
+  """Clamp sensor values to +-cutoff (positive-only types to [0, cutoff])
+  for sensors with cutoff > 0 (C mj_sensor* postprocessing)."""
+  import numpy as np
+  positive = (SensorType.TOUCH, SensorType.RANGEFINDER)
+  for s in range(m.nsensor):
+    if m.sensor_needstage[s] != stage:
+      continue
+    # cutoff is a traced leaf; presence of clamping is static via shape
+    adr, dim = m.sensor_adr[s], m.sensor_dim[s]
+    c = m.sensor_cutoff[s]
+    window = sd[adr:adr + dim]
+    stype = m.sensor_type[s]
+    if stype in positive:
+      clamped = jnp.minimum(window, c)   # keep miss sentinels (< 0)
+    else:
+      clamped = jnp.clip(window, -c, c)
+    sd = sd.at[adr:adr + dim].set(jnp.where(c > 0, clamped, window))
+  return sd
+
+
 def sensor_pos(m: Model, d: Data) -> Data:
   if m.nsensor == 0 or m.opt.disableflags & DisableBit.SENSOR:
     return d
@@ -164,6 +185,7 @@ def sensor_pos(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, d.time)
     else:
       raise NotImplementedError(f'pos sensor {stype}')
+  sd = _apply_cutoff(m, sd, 1)
   return d.replace(sensordata=sd)
 
 
@@ -226,6 +248,7 @@ def sensor_vel(m: Model, d: Data) -> Data:
                                       objid, d.efc_vel))
     else:
       raise NotImplementedError(f'vel sensor {stype}')
+  sd = _apply_cutoff(m, sd, 2)
   return d.replace(sensordata=sd)
 
 
@@ -319,6 +342,7 @@ def sensor_acc(m: Model, d: Data) -> Data:
       sd = _write(sd, adr, total)
     else:
       raise NotImplementedError(f'acc sensor {stype}')
+  sd = _apply_cutoff(m, sd, 3)
   return d.replace(sensordata=sd)
 
 
