@@ -484,6 +484,35 @@ def transmission(m: Model, d: Data) -> Data:
         mom_p = (refmat @ gear[:3]) @ (jacp - jacp_r)
         mom_r = (refmat @ gear[3:]) @ (jacr - jacr_r)
         moment = moment.at[u].set(mom_p + mom_r)
+    elif trntype == TrnType.SLIDERCRANK:
+      from . import support  # local import to avoid cycle
+      cranksite = m.actuator_trnid[u][0]
+      slidersite = m.actuator_trnid[u][1]
+      r = m.actuator_cranklength[u]
+      gear = m.actuator_gear[u][0]
+      x0 = d.site_xpos[slidersite]
+      a = d.site_xmat[slidersite][:, 2]        # slider axis
+      pc = d.site_xpos[cranksite]
+
+      def slider_len(x0_, a_, pc_):
+        v = pc_ - x0_
+        av = jnp.dot(a_, v)
+        det = av * av + r * r - jnp.dot(v, v)
+        ok = det > 0
+        return jnp.where(ok, av - jnp.sqrt(jnp.maximum(det, 1e-12)), av)
+
+      Lval, grads = jax.value_and_grad(slider_len, argnums=(0, 1, 2))(
+          x0, a, pc)
+      gx0, ga, gpc = grads
+      bs = m.site_bodyid[slidersite]
+      bc = m.site_bodyid[cranksite]
+      jps, jrs = support.jac(m, d, x0, bs)     # (3, nv) each
+      jpc, _ = support.jac(m, d, pc, bc)
+      # dL/dq = gx0.Jp_s + gpc.Jp_c + ga.(omega_s x a) with
+      # (omega x a).ga = (a x ga).omega
+      row = gx0 @ jps + gpc @ jpc + (jnp.cross(a, ga)) @ jrs
+      lengths.append(Lval * gear)
+      moment = moment.at[u].set(gear * row)
     else:
       raise NotImplementedError(f'transmission type {trntype}')
   return d.replace(actuator_length=jnp.stack(lengths),
