@@ -403,6 +403,50 @@ def _contact_rows_all(m: Model, d: Data, stride: int):
       impratio_invsqrt * impratio_invsqrt)
 
   import numpy as np
+  S = stride
+  flat = lambda x: x.reshape((C * S,) + x.shape[2:])
+  rep = lambda x: jnp.broadcast_to(x[:, None], (C, S)).reshape(C * S)
+
+  if m.opt.cone == ConeType.ELLIPTIC:
+    # Elliptic rows (reference constraint.py:1940; C values verified
+    # empirically): row 0 normal (standard impedance), rows j friction
+    # direction jacobians with D_j = D_0 * impratio * (mu_1/mu_j)^2 and
+    # aref_j = -b * vel_j (damping only; solreffriction overrides b).
+    r = np.arange(S)
+    k, b, imp = _kbi(m, con.solref, con.solimp, pos)     # (C,) each
+    d0 = 1.0 / jnp.maximum(invw * (1.0 - imp) / imp, _MINVAL)
+    mu1 = friction[:, 0]
+    # friction coefficient per row (C, S); row 0 unused
+    fr_row = friction[:, np.clip(r - 1, 0, 4)]            # (C, S)
+    d_fr = d0[:, None] * m.opt.impratio * (
+        fr_row / jnp.maximum(mu1[:, None], _MINVAL)) ** 2
+    # b for friction rows: solreffriction when set (reference
+    # constraint.py), else the normal row's b
+    srf = con.solreffriction                              # (C, 2)
+    use_srf = jnp.any(jnp.abs(srf) > 1e-12, axis=1)
+    b_f = jnp.where(use_srf, 2.0 / jnp.maximum(
+        jnp.clip(con.solimp[:, 1], _MINIMP, _MAXIMP) * srf[:, 0],
+        _MINVAL), b)
+    J = jnp.concatenate([jn[:, None, :], jdirs], axis=1)[:, :S]  # (C,S,nv)
+    vel = jnp.einsum('csn,n->cs', J, d.qvel, **_EINSUM)
+    is_normal = jnp.asarray(r == 0)[None, :]
+    exists = active_con[:, None] & (jnp.asarray(r)[None, :] <
+                                    jnp.maximum(dim[:, None], 1))
+    act = exists.astype(dtype)
+    D = jnp.where(is_normal, d0[:, None], d_fr) * act
+    aref = jnp.where(is_normal,
+                     -k[:, None] * imp[:, None] * pos[:, None] -
+                     b[:, None] * vel,
+                     -b_f[:, None] * vel) * act
+    ctype = jnp.where(dim == 1, ConstraintType.CONTACT_FRICTIONLESS,
+                      ConstraintType.CONTACT_ELLIPTIC).astype(jnp.int32)
+    return dict(
+        J=flat(J), pos=rep(pos + con.includemargin),
+        margin=rep(con.includemargin), D=flat(D), vel=flat(vel),
+        aref=flat(aref), frictionloss=jnp.zeros(C * S, dtype),
+        type=rep(ctype), id=rep(jnp.arange(C, dtype=jnp.int32)),
+        active=flat(exists))
+
   r = np.arange(stride)
   kidx = r // 2 + 1                                  # friction dim index
   sign = jnp.asarray(np.where(r % 2 == 0, 1.0, -1.0), dtype)   # (S,)
@@ -423,9 +467,6 @@ def _contact_rows_all(m: Model, d: Data, stride: int):
   ctype = jnp.where(dim == 1, ConstraintType.CONTACT_FRICTIONLESS,
                     ConstraintType.CONTACT_PYRAMIDAL).astype(jnp.int32)
 
-  S = stride
-  flat = lambda x: x.reshape((C * S,) + x.shape[2:])
-  rep = lambda x: jnp.broadcast_to(x[:, None], (C, S)).reshape(C * S)
   rows = _row(
       m, flat(J), rep(pos), rep(pos), flat(iw),
       jnp.broadcast_to(con.solref[:, None, :], (C, S, 2)).reshape(C * S, 2),

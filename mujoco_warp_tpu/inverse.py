@@ -58,7 +58,8 @@ def inv_constraint(m: Model, d: Data) -> Data:
     return d.replace(qfrc_constraint=jnp.zeros(m.nv, d.qpos.dtype))
   jaref = jnp.einsum('...jn,...n->...j', d.efc_J, d.qacc,
                      **_EINSUM) - d.efc_aref
-  force, qfrc_constraint, _, _ = solver_mod._update_constraint(m, d, jaref)
+  force, qfrc_constraint, _, _, _ = solver_mod._update_constraint(
+      m, d, jaref)
   return d.replace(efc_force=force, qfrc_constraint=qfrc_constraint)
 
 

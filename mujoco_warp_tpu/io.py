@@ -299,8 +299,11 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       ls_iterations=int(mjm.opt.ls_iterations),
       # parallel multi-alpha linesearch: ~6 fused kernels vs ~100 for the
       # iterative variant — the right default on TPU (reference default
-      # is False on GPU, solver.py:481 offers both)
-      ls_parallel=True,
+      # is False on GPU, solver.py:481 offers both). It exploits phi'
+      # being piecewise-LINEAR, which the elliptic cone term breaks, so
+      # elliptic models default to the iterative (safeguarded-Newton)
+      # variant.
+      ls_parallel=int(mjm.opt.cone) != int(types.ConeType.ELLIPTIC),
       disableflags=int(mjm.opt.disableflags),
       enableflags=int(mjm.opt.enableflags),
       run_collision_detection=True,
@@ -750,6 +753,11 @@ def override_model(m: Model, overrides: list[str] | str) -> Model:
     field = path[4:]
     if field in _ENUM_FIELDS:
       new = int(_ENUM_FIELDS[field][value.lower()])
+      if field == 'cone':
+        # keep the linesearch default consistent with the cone type
+        # (parallel LS assumes piecewise-linear phi'; see put_model)
+        opt = dataclasses.replace(
+            opt, ls_parallel=new != int(types.ConeType.ELLIPTIC))
     elif field in _FLAG_FIELDS:
       enum_t = _FLAG_FIELDS[field]
       new = 0

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from . import linalg
-from .types import ConstraintType, Data, DisableBit, Model, SolverType
+from .types import (ConeType, ConstraintType, Data, DisableBit, Model,
+                    SolverType)
 
 _MINVAL = 1e-15
 _EINSUM = dict(precision=jax.lax.Precision.HIGHEST)
@@ -105,13 +106,61 @@ def _row_masks(m: Model, efc_type):
   is_eq = efc_type == ConstraintType.EQUALITY
   is_fr = (efc_type == ConstraintType.FRICTION_DOF) | (
       efc_type == ConstraintType.FRICTION_TENDON)
-  is_oneside = ~is_eq & ~is_fr
+  is_ell = efc_type == ConstraintType.CONTACT_ELLIPTIC
+  is_oneside = ~is_eq & ~is_fr & ~is_ell
   return is_eq, is_fr, is_oneside
+
+
+def _elliptic_layout(m: Model, d: Data):
+  """Static (base, stride) of the contact row block, or None when the
+  model has no elliptic contacts."""
+  if m.opt.cone != ConeType.ELLIPTIC:
+    return None
+  nconmax = d.contact.dist.shape[-1]
+  from . import io as io_mod
+  ne, nf, nl, stride, njmax = io_mod.efc_layout(m, nconmax)
+  if nconmax == 0 or stride < 2:
+    return None
+  return ne + nf + nl, stride, nconmax
+
+
+def _elliptic_quantities(m: Model, d: Data, jaref):
+  """Per-contact cone quantities from the contact block of jaref:
+  returns (N, T, u, mu, s, is_ell_con) with shapes (..., C) / (..., C, S).
+  u is the cone-scaled row vector (row 0 scaled by mu, friction rows by
+  their own coefficient); s the per-row scale factors."""
+  lay = _elliptic_layout(m, d)
+  base, S, C = lay
+  x = jaref[..., base:base + C * S]
+  x = x.reshape(x.shape[:-1] + (C, S))
+  friction = d.contact.friction                    # (..., C, 5)
+  dim = d.contact.dim                              # (..., C)
+  mu = friction[..., 0] / jnp.sqrt(jnp.maximum(m.opt.impratio, _MINVAL))
+  import numpy as np
+  r = np.arange(S)
+  fr_row = friction[..., np.clip(r - 1, 0, 4)]     # (..., C, S)
+  s = jnp.where(jnp.asarray(r == 0), mu[..., None], fr_row)  # (..., C, S)
+  rowvalid = (jnp.asarray(r) < jnp.maximum(dim[..., None], 1)) & (
+      jnp.asarray(r == 0) | (dim[..., None] > 1))
+  u = x * s * rowvalid
+  N = u[..., 0]
+  T = jnp.sqrt(jnp.maximum(jnp.sum(u[..., 1:] ** 2, axis=-1), 0.0))
+  is_ell_con = (dim > 1) & (d.contact.geom[..., 0] >= 0)
+  return base, S, C, x, u, N, T, mu, s, rowvalid, is_ell_con
+
+
+def _elliptic_zones(N, T, mu):
+  top = N >= mu * T
+  bottom = ~top & (mu * N + T <= 0)
+  middle = ~top & ~bottom
+  return top, bottom, middle
 
 
 def _update_constraint(m: Model, d: Data, jaref):
   """Per-row force, cost, active state (reference solver.py:1805-1953).
-  jaref: (..., nj)."""
+  jaref: (..., nj). Returns (force, qfrc_constraint, cost, quad,
+  cone_middle) where cone_middle (or None) marks elliptic contacts in
+  the middle (cone-surface) zone."""
   is_eq, is_fr, is_one = _row_masks(m, d.efc_type)
   D = d.efc_D
   fl = d.efc_frictionloss
@@ -130,11 +179,56 @@ def _update_constraint(m: Model, d: Data, jaref):
   cost_rows = jnp.where(quad, 0.5 * D * jaref * jaref, 0.0)
   cost_rows = jnp.where(lin_neg, -fl * (0.5 * rf + jaref), cost_rows)
   cost_rows = jnp.where(lin_pos, -fl * (0.5 * rf - jaref), cost_rows)
-  cost = jnp.sum(cost_rows, axis=-1)
 
+  cone_middle = None
+  if _elliptic_layout(m, d) is not None:
+    # elliptic contacts: zone logic per contact block (reference
+    # update_constraint_efc elliptic branch)
+    (base, S, C, x, u, N, T, mu, s, rowvalid,
+     is_ell) = _elliptic_quantities(m, d, jaref)
+    top, bottom, middle = _elliptic_zones(N, T, mu)
+    top, bottom, middle = [z & is_ell for z in (top, bottom, middle)]
+    Dblk = d.efc_D[..., base:base + C * S]
+    Dblk = Dblk.reshape(Dblk.shape[:-1] + (C, S))
+    d0 = Dblk[..., 0]
+    mu2 = mu * mu
+    dm = d0 / jnp.maximum(mu2 * (1.0 + mu2), _MINVAL)
+    nmt = N - mu * T
+    f_norm = -dm * nmt * mu
+    Tsafe = jnp.maximum(T, _MINVAL)
+    f_fric = -f_norm[..., None] / Tsafe[..., None] * (u * s)
+    f_mid = jnp.concatenate([f_norm[..., None], f_fric[..., 1:]], axis=-1)
+    f_bot = -Dblk * x
+    f_blk = jnp.where(middle[..., None], f_mid,
+                      jnp.where(bottom[..., None], f_bot, 0.0)) * rowvalid
+    c_mid = 0.5 * dm * nmt * nmt
+    c_bot = jnp.sum(0.5 * Dblk * x * x * rowvalid, axis=-1)
+    c_blk = jnp.where(middle, c_mid, jnp.where(bottom, c_bot, 0.0))
+    # merge: replace rows of elliptic contacts in the flat arrays
+    ell_rows = jnp.broadcast_to(is_ell[..., None],
+                                is_ell.shape + (S,)).reshape(
+        is_ell.shape[:-1] + (C * S,))
+    force = force.at[..., base:base + C * S].set(
+        jnp.where(ell_rows, f_blk.reshape(f_blk.shape[:-2] + (C * S,)),
+                  force[..., base:base + C * S]))
+    # cost: zero out the elliptic rows' independent cost, add block cost
+    cost_rows = cost_rows.at[..., base:base + C * S].set(
+        jnp.where(ell_rows, 0.0, cost_rows[..., base:base + C * S]))
+    cost_rows = cost_rows.at[..., base].add(
+        jnp.sum(jnp.where(is_ell, c_blk, 0.0), axis=-1))
+    # quad flag: elliptic rows quadratic only in the bottom zone
+    quad_blk = jnp.broadcast_to((bottom & is_ell)[..., None],
+                                bottom.shape + (S,)) & rowvalid
+    quad = quad.at[..., base:base + C * S].set(
+        jnp.where(ell_rows,
+                  quad_blk.reshape(quad_blk.shape[:-2] + (C * S,)),
+                  quad[..., base:base + C * S]))
+    cone_middle = middle & is_ell
+
+  cost = jnp.sum(cost_rows, axis=-1)
   qfrc_constraint = jnp.einsum('...jn,...j->...n', d.efc_J, force,
                                **_EINSUM)
-  return force, qfrc_constraint, cost, quad
+  return force, qfrc_constraint, cost, quad, cone_middle
 
 
 def _gauss_cost(m: Model, d: Data, qacc, ma):
@@ -142,7 +236,8 @@ def _gauss_cost(m: Model, d: Data, qacc, ma):
                        axis=-1)
 
 
-def _update_gradient(m: Model, d: Data, ctx_grad_inputs):
+def _update_gradient(m: Model, d: Data, ctx_grad_inputs, jaref=None,
+                     cone_middle=None):
   """grad, and Mgrad via Newton Hessian or CG preconditioner."""
   ma, qfrc_constraint, quad = ctx_grad_inputs
   grad = ma - d.qfrc_smooth - qfrc_constraint
@@ -151,6 +246,47 @@ def _update_gradient(m: Model, d: Data, ctx_grad_inputs):
     # H = M + J^T diag(Dh) J — MXU batched matmul (reference solver.py:2368)
     jd = d.efc_J * dh[..., None]
     h = d.qM + jnp.einsum('...jn,...jk->...nk', jd, d.efc_J, **_EINSUM)
+    if cone_middle is not None:
+      # elliptic cone-surface Hessian correction H += Jc^T C Jc per
+      # middle-zone contact (reference update_gradient_JTCJ math)
+      (base, S, C, x, u, N, T, mu, s, rowvalid,
+       is_ell) = _elliptic_quantities(m, d, jaref)
+      Dblk = d.efc_D[..., base:base + C * S]
+      d0 = Dblk.reshape(Dblk.shape[:-1] + (C, S))[..., 0]
+      mu2 = mu * mu
+      dm = d0 / jnp.maximum(mu2 * (1.0 + mu2), _MINVAL)
+      Tsafe = jnp.maximum(T, _MINVAL)
+      T3 = jnp.maximum(T * Tsafe * Tsafe, _MINVAL)
+      import numpy as np
+      r = np.arange(S)
+      is0 = jnp.asarray(r == 0)
+      # hcone in scaled coordinates (..., C, S, S)
+      ui = u[..., :, None]
+      uj = u[..., None, :]
+      hc = (mu[..., None, None] * N[..., None, None] / T3[..., None, None]
+            ) * ui * uj
+      diag = jnp.eye(S, dtype=u.dtype)
+      hc = hc + diag * (mu2 - mu * N / Tsafe)[..., None, None]
+      # first row/column overrides
+      mu_over_t = (mu / Tsafe)[..., None]
+      hc = hc.at[..., 0, :].set(-mu_over_t * u)
+      hc = hc.at[..., :, 0].set(-mu_over_t * u)
+      hc = hc.at[..., 0, 0].set(1.0)
+      scale = dm[..., None, None] * s[..., :, None] * s[..., None, :]
+      mask = (cone_middle[..., None, None] &
+              rowvalid[..., :, None] & rowvalid[..., None, :])
+      Cblk = hc * scale * mask
+      Jc = d.efc_J[..., base:base + C * S, :]
+      Jc = Jc.reshape(Jc.shape[:-2] + (C, S, Jc.shape[-1]))
+      h = h + jnp.einsum('...csn,...cst,...ctk->...nk', Jc, Cblk, Jc,
+                         **_EINSUM)
+      # f32 guard: the cone Hessian is PSD in exact arithmetic but can
+      # round indefinite when impratio skews the row scales; a relative
+      # Tikhonov floor keeps the factorization sane (error ~1e-7 rel,
+      # far below the solver tolerance floor)
+      nv = h.shape[-1]
+      tr = jnp.trace(h, axis1=-2, axis2=-1) / nv
+      h = h + (1e-7 * tr)[..., None, None] * jnp.eye(nv, dtype=h.dtype)
     mgrad = spd_solve(m, h, grad)
   else:
     mgrad = cho_solve(m, d.qLD, grad)
@@ -174,6 +310,19 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
   rf = fl / jnp.maximum(D, _MINVAL)
   jaref = ctx.jaref
 
+  ell = _elliptic_layout(m, d)
+  if ell is not None:
+    (base, S, C, x0blk, u0blk, _, _, mu_e, s_e, rowvalid_e,
+     is_ell_con) = _elliptic_quantities(m, d, jaref)
+    jvblk = jv[..., base:base + C * S]
+    jvblk = jvblk.reshape(jvblk.shape[:-1] + (C, S)) * rowvalid_e
+    vblk = jvblk * s_e                       # scaled jv rows
+    Dblk_e = d.efc_D[..., base:base + C * S]
+    Dblk_e = Dblk_e.reshape(Dblk_e.shape[:-1] + (C, S))
+    d0_e = Dblk_e[..., 0]
+    mu2_e = mu_e * mu_e
+    dm_e = d0_e / jnp.maximum(mu2_e * (1.0 + mu2_e), _MINVAL)
+
   def phi_d(alpha):
     """(phi'(alpha), phi''(alpha)) — (...,) each; alpha (...,)."""
     x = jaref + alpha[..., None] * jv
@@ -184,8 +333,34 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
     d1_rows = d1_rows + jnp.where(lin_neg, -fl * jv, 0.0)
     d1_rows = d1_rows + jnp.where(lin_pos, fl * jv, 0.0)
     d2_rows = jnp.where(quad, D * jv * jv, 0.0)
-    return (g0 + alpha * h0 + jnp.sum(d1_rows, axis=-1),
-            h0 + jnp.sum(d2_rows, axis=-1))
+    d1 = g0 + alpha * h0 + jnp.sum(d1_rows, axis=-1)
+    d2 = h0 + jnp.sum(d2_rows, axis=-1)
+    if ell is not None:
+      # cone contribution per elliptic contact (reference _eval_elliptic)
+      xb = x[..., base:base + C * S]
+      xb = xb.reshape(xb.shape[:-1] + (C, S)) * rowvalid_e
+      ub = xb * s_e
+      Na = ub[..., 0]
+      N1 = vblk[..., 0]
+      Ta = jnp.sqrt(jnp.maximum(jnp.sum(ub[..., 1:] ** 2, axis=-1),
+                                _MINVAL))
+      T1 = jnp.sum(ub[..., 1:] * vblk[..., 1:], axis=-1) / Ta
+      T2 = (jnp.sum(vblk[..., 1:] ** 2, axis=-1) - T1 * T1) / Ta
+      top, bottom, middle = _elliptic_zones(Na, Ta, mu_e)
+      top, bottom, middle = [z & is_ell_con for z in (top, bottom, middle)]
+      nmt = Na - mu_e * Ta
+      n1mt1 = N1 - mu_e * T1
+      d1_mid = dm_e * nmt * n1mt1
+      d2_mid = dm_e * (n1mt1 * n1mt1 - nmt * mu_e * T2)
+      d1_bot = jnp.sum(Dblk_e * xb * jvblk, axis=-1)
+      d2_bot = jnp.sum(Dblk_e * jvblk * jvblk, axis=-1)
+      d1 = d1 + jnp.sum(jnp.where(middle, d1_mid,
+                                  jnp.where(bottom, d1_bot, 0.0)),
+                        axis=-1)
+      d2 = d2 + jnp.sum(jnp.where(middle, d2_mid,
+                                  jnp.where(bottom, d2_bot, 0.0)),
+                        axis=-1)
+    return d1, d2
 
   zero = jnp.zeros_like(g0)
   p1_0, p2_0 = phi_d(zero)
@@ -227,11 +402,14 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
     p1_m, p2_m = phi_d(a_max)
     newton_tail = a_max - p1_m / jnp.maximum(p2_m, _MINVAL)
     alpha = jnp.where(any_hi, secant, jnp.maximum(newton_tail, 0.0))
-    # Newton polish: converges across remaining kinks (phi convex)
+    # Newton polish: converges across remaining kinks (phi convex).
+    # Cap the step at a multiple of the largest bracket candidate so a
+    # near-zero phi'' (f32) cannot launch a divergent alpha.
+    alpha_cap = 10.0 * a_max
     for _ in range(3):
       p1_a, p2_a = phi_d(alpha)
       alpha = alpha - p1_a / jnp.maximum(p2_a, _MINVAL)
-      alpha = jnp.maximum(alpha, 0.0)
+      alpha = jnp.clip(alpha, 0.0, alpha_cap)
     alpha = jnp.where(p1_0 >= 0, 0.0, alpha)
     return alpha, mv, jv
 
@@ -265,9 +443,11 @@ def _iteration(m: Model, d: Data, ctx: _Ctx) -> _Ctx:
   ma = ctx.Ma + alpha[..., None] * mv
   jaref = ctx.jaref + alpha[..., None] * jv
 
-  force, qfrc_constraint, cost_c, quad = _update_constraint(m, d, jaref)
+  force, qfrc_constraint, cost_c, quad, cone_mid = _update_constraint(
+      m, d, jaref)
   cost = cost_c + _gauss_cost(m, d, qacc, ma)
-  grad, mgrad = _update_gradient(m, d, (ma, qfrc_constraint, quad))
+  grad, mgrad = _update_gradient(m, d, (ma, qfrc_constraint, quad),
+                                 jaref=jaref, cone_middle=cone_mid)
 
   if m.opt.solver == SolverType.CG:
     beta_num = jnp.sum(grad * (mgrad - ctx.prev_mgrad), axis=-1)
@@ -329,9 +509,11 @@ def solve(m: Model, d: Data) -> Data:
   ma = jnp.einsum('...ij,...j->...i', d.qM, qacc, **_EINSUM)
   jaref = jnp.einsum('...jn,...n->...j', d.efc_J, qacc,
                      **_EINSUM) - d.efc_aref
-  force, qfrc_constraint, cost_c, quad = _update_constraint(m, d, jaref)
+  force, qfrc_constraint, cost_c, quad, cone_mid = _update_constraint(
+      m, d, jaref)
   cost = cost_c + _gauss_cost(m, d, qacc, ma)
-  grad, mgrad = _update_gradient(m, d, (ma, qfrc_constraint, quad))
+  grad, mgrad = _update_gradient(m, d, (ma, qfrc_constraint, quad),
+                                 jaref=jaref, cone_middle=cone_mid)
 
   ctx = _Ctx(
       qacc=qacc, Ma=ma, jaref=jaref, force=force,
