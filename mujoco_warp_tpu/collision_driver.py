@@ -23,8 +23,9 @@ from .types import Data, DisableBit, GeomType, Model
 
 
 def _candidate_params(m: Model, g1s: np.ndarray, g2s: np.ndarray,
-                      condims: np.ndarray):
-  """Mix contact parameters for each candidate pair
+                      condims: np.ndarray, pairids: np.ndarray):
+  """Mix contact parameters for each candidate pair; explicit <pair>
+  candidates take their parameters from the pair tables
   (C mj_contactParam; reference collision_core.py:236)."""
   f1 = m.geom_friction[g1s]
   f2 = m.geom_friction[g2s]
@@ -58,8 +59,20 @@ def _candidate_params(m: Model, g1s: np.ndarray, g2s: np.ndarray,
 
   margin = jnp.maximum(m.geom_margin[g1s], m.geom_margin[g2s])
   gap = jnp.maximum(m.geom_gap[g1s], m.geom_gap[g2s])
-  includemargin = margin - gap
   solreffriction = jnp.zeros_like(solref)
+
+  if (pairids >= 0).any():
+    is_pair = jnp.asarray(pairids >= 0)
+    pid = np.maximum(pairids, 0)
+    friction = jnp.where(is_pair[:, None], m.pair_friction[pid], friction)
+    solref = jnp.where(is_pair[:, None], m.pair_solref[pid], solref)
+    solreffriction = jnp.where(is_pair[:, None],
+                               m.pair_solreffriction[pid], solreffriction)
+    solimp = jnp.where(is_pair[:, None], m.pair_solimp[pid], solimp)
+    margin = jnp.where(is_pair, m.pair_margin[pid], margin)
+    gap = jnp.where(is_pair, m.pair_gap[pid], gap)
+
+  includemargin = margin - gap
   return (friction, solref, solreffriction, solimp, margin, includemargin,
           jnp.asarray(condims, dtype=jnp.int32))
 
@@ -75,7 +88,7 @@ def collision(m: Model, d: Data) -> Data:
 
   dtype = d.qpos.dtype
   dists, poss, frames = [], [], []
-  g1_list, g2_list, condim_list = [], [], []
+  g1_list, g2_list, condim_list, pairid_list = [], [], [], []
   geom_dataid = np.asarray(m.geom_dataid)
   for t1, t2, glist in m.collision_pairs:
     if t1 == GeomType.HFIELD:
@@ -83,9 +96,11 @@ def collision(m: Model, d: Data) -> Data:
       from . import collision_hfield
       k = collision_hfield._NCONH
       by_h = {}
-      for g1, g2 in glist:
-        by_h.setdefault(g1, []).append(g2)
-      for g1, g2list in sorted(by_h.items()):
+      for g1, g2, pid in glist:
+        by_h.setdefault(g1, []).append((g2, pid))
+      for g1, g2list_p in sorted(by_h.items()):
+        g2list = [g for g, _ in g2list_p]
+        pids_h = [p for _, p in g2list_p]
         hid = m.geom_dataid[g1]
         fn = collision_hfield.hfield_collider(
             m, hid, m.hfield_nrow[hid], m.hfield_ncol[hid], t2)
@@ -97,18 +112,20 @@ def collision(m: Model, d: Data) -> Data:
         dists.append(dist_k.reshape(-1))
         poss.append(pos_k.reshape(-1, 3))
         frames.append(frame_k.reshape(-1, 3, 3))
-        for g2 in g2list:
+        for g2, pid in zip(g2list, pids_h):
           g1_list += [g1] * k
           g2_list += [g2] * k
-          condim_list += [_static_condim(m, g1, g2)] * k
+          condim_list += [_static_condim(m, g1, g2, pid)] * k
+          pairid_list += [pid] * k
       continue
     fn = collision_primitive.COLLIDERS.get((t1, t2))
     k = collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
     needs_verts = GeomType.MESH in (t1, t2)
     if fn is None:
       fn = collision_convex.mpr(t1, t2)  # generic convex fallback
-    g1s = np.array([g for g, _ in glist])
-    g2s = np.array([g for _, g in glist])
+    g1s = np.array([g for g, _, _ in glist])
+    g2s = np.array([g for _, g, _ in glist])
+    pids = [p for _, _, p in glist]
     args = [d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
             d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]]
     if needs_verts:
@@ -123,10 +140,11 @@ def collision(m: Model, d: Data) -> Data:
     dists.append(dist_k.reshape(-1))
     poss.append(pos_k.reshape(-1, 3))
     frames.append(frame_k.reshape(-1, 3, 3))
-    for g1, g2 in glist:
+    for g1, g2, pid in glist:
       g1_list += [g1] * k
       g2_list += [g2] * k
-      condim_list += [_static_condim(m, g1, g2)] * k
+      condim_list += [_static_condim(m, g1, g2, pid)] * k
+      pairid_list += [pid] * k
 
   dist = jnp.concatenate(dists)
   pos = jnp.concatenate(poss, axis=0)
@@ -134,7 +152,8 @@ def collision(m: Model, d: Data) -> Data:
   g1s = np.array(g1_list)
   g2s = np.array(g2_list)
   (friction, solref, solreffriction, solimp, margin, includemargin,
-   condim) = _candidate_params(m, g1s, g2s, np.array(condim_list))
+   condim) = _candidate_params(m, g1s, g2s, np.array(condim_list),
+                               np.array(pairid_list))
 
   # inclusion rule: dist < margin (C mj_collision)
   active = dist < margin
@@ -174,7 +193,9 @@ def collision(m: Model, d: Data) -> Data:
   return d.replace(contact=new_con, ncon=ncon, ncollision=ncollision)
 
 
-def _static_condim(m: Model, g1: int, g2: int) -> int:
+def _static_condim(m: Model, g1: int, g2: int, pairid: int = -1) -> int:
+  if pairid >= 0:
+    return m.pair_dim[pairid]
   p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
   if p1 > p2:
     return m.geom_condim[g1]

@@ -171,12 +171,25 @@ def _collision_pairs(mjm: mujoco.MjModel):
   filterparent = not (mjm.opt.disableflags
                       & types.DisableBit.FILTERPARENT)
   exclude_sigs = set(int(s) for s in mjm.exclude_signature)
+  # explicit <pair> contacts bypass all filters and carry their own
+  # parameters (reference io.py pair handling; C mj_collision)
+  explicit = {}
+  for p in range(mjm.npair):
+    g1, g2 = int(mjm.pair_geom1[p]), int(mjm.pair_geom2[p])
+    t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
+    if t1 > t2:
+      g1, g2, t1, t2 = g2, g1, t2, t1
+    explicit[(g1, g2)] = p
   weld = mjm.body_weldid
   weld_parent = mjm.body_weldid[mjm.body_parentid[weld]]
   groups: dict[tuple[int, int], list] = {}
   npairs = 0
   for g1 in range(mjm.ngeom):
     for g2 in range(g1 + 1, mjm.ngeom):
+      t1_, t2_ = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
+      gk = (g1, g2) if t1_ <= t2_ else (g2, g1)
+      if gk in explicit:
+        continue  # handled below with pair params
       b1, b2 = int(mjm.geom_bodyid[g1]), int(mjm.geom_bodyid[g2])
       w1, w2 = int(weld[b1]), int(weld[b2])
       if w1 == w2:
@@ -204,8 +217,19 @@ def _collision_pairs(mjm: mujoco.MjModel):
       if not supported:
         raise NotImplementedError(
             f'collision pair type {key} not supported')
-      groups.setdefault(key, []).append((gg1, gg2))
+      groups.setdefault(key, []).append((gg1, gg2, -1))
       npairs += 1
+  for (g1, g2), p in sorted(explicit.items()):
+    t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
+    key = geom_pair_key(t1, t2)
+    hfield_ok = key[0] == types.GeomType.HFIELD
+    supported = (key in collision_primitive.MAX_CONTACTS or hfield_ok or
+                 (key[0] in collision_convex.SUPPORT and
+                  key[1] in collision_convex.SUPPORT))
+    if not supported:
+      raise NotImplementedError(f'explicit pair type {key} not supported')
+    groups.setdefault(key, []).append((g1, g2, p))
+    npairs += 1
   pairs = tuple(
       (k[0], k[1], tuple(v)) for k, v in sorted(groups.items()))
 
@@ -275,9 +299,6 @@ def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
 def put_model(mjm: mujoco.MjModel) -> Model:
   _validate(mjm)
 
-  if mjm.npair > 0:
-    raise NotImplementedError('explicit <pair> contacts not yet supported')
-
   opt = Option(
       timestep=_jp(mjm.opt.timestep),
       tolerance=_jp(max(mjm.opt.tolerance, 1e-6)),  # f32 floor, ref io.py:182
@@ -333,8 +354,11 @@ def put_model(mjm: mujoco.MjModel) -> Model:
   # static condim per pair drives the efc row layout
   condims = [1]
   for _, _, glist in collision_pairs:
-    for g1, g2 in glist:
-      condims.append(_pair_condim(mjm, g1, g2))
+    for g1, g2, pid in glist:
+      if pid >= 0:
+        condims.append(int(mjm.pair_dim[pid]))
+      else:
+        condims.append(_pair_condim(mjm, g1, g2))
   condim_max = max(condims)
 
   mocap_bodies = np.nonzero(mjm.body_mocapid >= 0)[0]
@@ -422,6 +446,7 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       collision_pairs=collision_pairs,
       nxn_candidates=nxn_candidates,
       condim_max=condim_max,
+      pair_dim=_tup(mjm.pair_dim),
       has_damping=bool(np.any(mjm.dof_damping > 0)),
       fluid_active=bool(mjm.opt.density > 0 or mjm.opt.viscosity > 0 or
                         np.any(mjm.opt.wind != 0)),
@@ -505,7 +530,12 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       tendon_lengthspring=_jp(mjm.tendon_lengthspring),
       tendon_invweight0=_jp(mjm.tendon_invweight0),
       wrap_prm=_jp(mjm.wrap_prm),
-      pair_dim_=_jp(np.zeros(0)),
+      pair_solref=_jp(mjm.pair_solref),
+      pair_solreffriction=_jp(mjm.pair_solreffriction),
+      pair_solimp=_jp(mjm.pair_solimp),
+      pair_margin=_jp(mjm.pair_margin),
+      pair_gap=_jp(mjm.pair_gap),
+      pair_friction=_jp(mjm.pair_friction),
       exclude_signature=_jp(mjm.exclude_signature, dtype=jnp.int32),
       sensor_cutoff=_jp(mjm.sensor_cutoff),
       mocap_pos0=_jp(mocap_pos0),

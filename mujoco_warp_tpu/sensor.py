@@ -61,6 +61,19 @@ def _obj_frame(m: Model, d: Data, objtype: int, objid: int):
   raise NotImplementedError(f'sensor objtype {objtype}')
 
 
+def _obj_quat(m: Model, d: Data, objtype: int, objid: int):
+  """World orientation quaternion of a sensor object."""
+  if objtype == ObjType.BODY:
+    return math.mul_quat(d.xquat[objid], m.body_iquat[objid])
+  if objtype == ObjType.XBODY:
+    return d.xquat[objid]
+  if objtype == ObjType.GEOM:
+    return math.mul_quat(d.xquat[m.geom_bodyid[objid]], m.geom_quat[objid])
+  if objtype == ObjType.SITE:
+    return math.mul_quat(d.xquat[m.site_bodyid[objid]], m.site_quat[objid])
+  raise NotImplementedError(f'obj quat for type {objtype}')
+
+
 def _obj_body(m: Model, objtype: int, objid: int) -> int:
   if objtype in (ObjType.BODY, ObjType.XBODY):
     return objid
@@ -152,7 +165,8 @@ def sensor_pos(m: Model, d: Data) -> Data:
         raise NotImplementedError(f'framequat objtype {objtype}')
       refid = m.sensor_refid[s]
       if refid >= 0:
-        raise NotImplementedError('framequat with reference frame')
+        rq = _obj_quat(m, d, m.sensor_reftype[s], refid)
+        q = math.mul_quat(math.quat_inv(rq), q)
       sd = _write(sd, adr, q)
     elif stype == SensorType.SUBTREECOM:
       sd = _write(sd, adr, d.subtree_com[objid])
@@ -227,10 +241,24 @@ def sensor_vel(m: Model, d: Data) -> Data:
       pos, _ = _obj_frame(m, d, objtype, objid)
       vel = math.transform_motion(
           d.cvel[body], pos - d.subtree_com[m.body_rootid[body]])
-      if m.sensor_refid[s] >= 0:
-        raise NotImplementedError('frame vel with reference frame')
-      sd = _write(sd, adr,
-                  vel[3:] if stype == SensorType.FRAMELINVEL else vel[:3])
+      refid = m.sensor_refid[s]
+      if refid >= 0:
+        # relative to the reference object's frame (C mj_sensorVel)
+        reftype = m.sensor_reftype[s]
+        rbody = _obj_body(m, reftype, refid)
+        rpos, rmat = _obj_frame(m, d, reftype, refid)
+        rvel = math.transform_motion(
+            d.cvel[rbody], rpos - d.subtree_com[m.body_rootid[rbody]])
+        if stype == SensorType.FRAMELINVEL:
+          rel = (vel[3:] - rvel[3:] -
+                 jnp.cross(rvel[:3], pos - rpos))
+          sd = _write(sd, adr, rmat.T @ rel)
+        else:
+          sd = _write(sd, adr, rmat.T @ (vel[:3] - rvel[:3]))
+      else:
+        sd = _write(sd, adr,
+                    vel[3:] if stype == SensorType.FRAMELINVEL
+                    else vel[:3])
     elif stype == SensorType.SUBTREELINVEL:
       sd = _write(sd, adr, d.subtree_linvel[objid])
     elif stype == SensorType.SUBTREEANGMOM:

@@ -345,6 +345,7 @@ _MODEL_META = (
     'collision_pairs',   # tuple of (type1, type2, tuple[(g1, g2, pairid)])
     'nxn_candidates',    # total candidate contact slots (static)
     'condim_max',
+    'pair_dim',          # static condim per explicit <pair>
     'has_damping',       # any dof_damping > 0 in the compiled model
     'fluid_active',      # density or viscosity or wind nonzero
 )
@@ -453,6 +454,7 @@ class Model:
   collision_pairs: Tuple[Any, ...]
   nxn_candidates: int
   condim_max: int
+  pair_dim: IntTuple
   has_damping: bool
   fluid_active: bool
   # numeric parameters (traced) ---------------------------------------------
@@ -536,7 +538,14 @@ class Model:
   tendon_lengthspring: jax.Array
   tendon_invweight0: jax.Array
   wrap_prm: jax.Array
-  pair_dim_: jax.Array      # unused placeholder for explicit <pair> support
+  # explicit <pair> parameter tables (indexed by the static pairid baked
+  # into collision_pairs)
+  pair_solref: jax.Array
+  pair_solreffriction: jax.Array
+  pair_solimp: jax.Array
+  pair_margin: jax.Array
+  pair_gap: jax.Array
+  pair_friction: jax.Array
   exclude_signature: jax.Array
   # collision numeric tables aligned with collision_pairs flattening
   # (per candidate pair: mixed condim/friction etc. computed on the fly)

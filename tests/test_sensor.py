@@ -120,3 +120,42 @@ def test_energy_sensors():
   mjm, mjd, m, d = fixture(xml, qpos_noise=0.4, qvel_noise=0.5)
   d = mjwt.forward(m, d)
   assert_close(d.sensordata, mjd.sensordata, 'energy sensors', tol=1e-4)
+
+
+REF_FRAME = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="a" pos="0 0 1">
+      <freejoint/>
+      <geom type="box" size="0.05 0.05 0.05" mass="1" contype="0"
+            conaffinity="0"/>
+      <site name="sa" pos="0.05 0 0" euler="10 20 0"/>
+    </body>
+    <body name="b" pos="0.4 0 1.2" euler="0 0 30">
+      <freejoint/>
+      <geom type="sphere" size="0.05" mass="0.5" contype="0"
+            conaffinity="0"/>
+      <site name="sb" pos="0 0.05 0"/>
+    </body>
+  </worldbody>
+  <sensor>
+    <framequat objtype="site" objname="sa" reftype="site" refname="sb"/>
+    <framelinvel objtype="body" objname="a" reftype="site" refname="sb"/>
+    <frameangvel objtype="site" objname="sa" reftype="body" refname="b"/>
+    <framepos objtype="body" objname="a" reftype="site" refname="sb"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_ref_frame_sensors():
+  mjm, mjd, m, d = fixture(REF_FRAME, qpos_noise=0.2, qvel_noise=0.5)
+  d = mjwt.forward(m, d)
+  ours = np.asarray(d.sensordata)
+  ref = mjd.sensordata
+  # quaternion sign ambiguity: compare up to sign for the first 4 entries
+  if ours[0] * ref[0] < 0:
+    ours = ours.copy()
+    ours[:4] = -ours[:4]
+  np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
