@@ -70,6 +70,8 @@ from . import derivative
 from . import math
 from . import passive
 from . import sensor
+from . import ray
+from . import render
 from . import smooth
 from . import solver
 from . import support
