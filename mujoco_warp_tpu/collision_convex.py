@@ -110,14 +110,21 @@ def mpr(t1: int, t2: int):
   c1fn = _CENTER[GeomType(t1)]
   c2fn = _CENTER[GeomType(t2)]
 
-  def collide(p1, m1, s1, p2, m2, s2, v1=None, v2=None):
+  def collide(p1, m1, s1, p2, m2, s2, v1=None, v2=None, margin=0.0):
+    """margin expands geom2's support by `margin` along the query
+    direction: the expanded penetration depth p maps to the true
+    distance as dist = margin - p, giving separation distances within
+    the margin band from the same portal refinement (the reference
+    inflates geoms for margin the same way, collision_gjk.py)."""
     dtype = p1.dtype
+    margin = jnp.asarray(margin, dtype)
 
     def S(d):
       """Minkowski-difference support: supp2(d) - supp1(-d); also
       returns the witness points on both geoms."""
+      dn = math.normalize(d)
       a = supp1(p1, m1, s1, v1, -d)
-      b = supp2(p2, m2, s2, v2, d)
+      b = supp2(p2, m2, s2, v2, d) + margin * dn
       return b - a, a, b
 
     # phase 1: interior point of the difference (center2 - center1)
@@ -247,8 +254,9 @@ def mpr(t1: int, t2: int):
     # contact normal from geom1 into geom2 = -n (portal normal points
     # from origin outward = direction of deepest translation of B)
     normal = -n
-    dist = jnp.where(penetrating, -depth, 1e10)
-    pos = 0.5 * (pa + pb)
+    # undo the margin expansion: depth is of the INFLATED pair
+    dist = jnp.where(penetrating, margin - depth, 1e10)
+    pos = 0.5 * (pa + pb) - 0.5 * margin * n
     return dist[None], pos[None], math.make_frame(normal)[None]
 
   return collide

@@ -121,20 +121,30 @@ def collision(m: Model, d: Data) -> Data:
     fn = collision_primitive.COLLIDERS.get((t1, t2))
     k = collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
     needs_verts = GeomType.MESH in (t1, t2)
-    if fn is None:
+    is_mpr = fn is None
+    if is_mpr:
       fn = collision_convex.mpr(t1, t2)  # generic convex fallback
     g1s = np.array([g for g, _, _ in glist])
     g2s = np.array([g for _, g, _ in glist])
     pids = [p for _, _, p in glist]
     args = [d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
             d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]]
-    if needs_verts:
+    if needs_verts or is_mpr:
       # hull vertex buffers for mesh geoms (zeros for non-mesh side)
       def hull(gs, t):
         if t != GeomType.MESH:
           return jnp.zeros((len(gs), 1, 4), m.mesh_hullvert.dtype)
         return m.mesh_hullvert[geom_dataid[gs]]
       args += [hull(g1s, t1), hull(g2s, t2)]
+    if is_mpr:
+      # per-pair margin: MPR runs on margin-inflated geoms so contacts
+      # appear inside the margin band, not only at penetration
+      marg = jnp.maximum(m.geom_margin[g1s], m.geom_margin[g2s])
+      pids_np = np.array(pids)
+      if (pids_np >= 0).any():
+        marg = jnp.where(jnp.asarray(pids_np >= 0),
+                         m.pair_margin[np.maximum(pids_np, 0)], marg)
+      args.append(marg)
     # one traced collider per type-pair group, vmapped over its pairs
     dist_k, pos_k, frame_k = jax.vmap(fn)(*args)
     dists.append(dist_k.reshape(-1))

@@ -110,3 +110,28 @@ def test_mesh_settles_on_plane():
   assert not np.any(np.isnan(q))
   assert abs(q[2] - 0.1) < 0.01
   assert q[3] > 0.99  # stays upright
+
+
+def test_margin_band_contact():
+  """Convex pairs with positive margin produce contacts while separated
+  within the margin band (dist in [0, margin))."""
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <body><geom type="cylinder" size="0.1 0.1" pos="0 0 0.1"
+                  margin="0.02"/></body>
+      <body pos="0 0 0.312"><freejoint/>
+        <geom type="cylinder" size="0.08 0.1" mass="0.5" margin="0.02"/>
+      </body>
+    </worldbody>
+  </mujoco>
+  """
+  mjm, mjd, m, d = fixture(xml)
+  assert mjd.ncon > 0 and mjd.contact.dist.min() > 0  # separated, in band
+  d = mjwt.fwd_position(m, d)
+  n = int(d.ncon)
+  assert n > 0, 'no margin-band contact found'
+  ours = np.sort(np.asarray(d.contact.dist)[:n])[0]
+  ref = np.sort(mjd.contact.dist)[0]
+  np.testing.assert_allclose(ours, ref, atol=3e-3)
