@@ -203,6 +203,33 @@ def collision(m: Model, d: Data) -> Data:
   return d.replace(contact=new_con, ncon=ncon, ncollision=ncollision)
 
 
+def collide_pair(m: Model, d: Data, g1: int, g2: int, margin):
+  """Narrowphase for one static geom pair outside the contact pipeline
+  (used by geom-distance sensors): returns (dist, pos, frame) candidate
+  arrays. Geoms are ordered by type like the driver."""
+  t1, t2 = m.geom_type[g1], m.geom_type[g2]
+  if t1 > t2:
+    g1, g2, t1, t2 = g2, g1, t2, t1
+  fn = collision_primitive.COLLIDERS.get((t1, t2))
+  args = [d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+          d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2]]
+  geom_dataid = m.geom_dataid
+  if fn is None:
+    fn = collision_convex.mpr(t1, t2)
+    def hull(g, t):
+      if t != GeomType.MESH:
+        return jnp.zeros((1, 4), m.mesh_hullvert.dtype)
+      return m.mesh_hullvert[geom_dataid[g]]
+    args += [hull(g1, t1), hull(g2, t2), margin]
+  elif GeomType.MESH in (t1, t2):
+    args += [jnp.zeros((1, 4), m.mesh_hullvert.dtype)
+             if t1 != GeomType.MESH else m.mesh_hullvert[geom_dataid[g1]],
+             m.mesh_hullvert[geom_dataid[g2]]
+             if t2 == GeomType.MESH else jnp.zeros(
+                 (1, 4), m.mesh_hullvert.dtype)]
+  return fn(*args)
+
+
 def _static_condim(m: Model, g1: int, g2: int, pairid: int = -1) -> int:
   if pairid >= 0:
     return m.pair_dim[pairid]

@@ -409,6 +409,7 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       cam_bodyid=_tup(mjm.cam_bodyid),
       cam_mode=_tup(mjm.cam_mode),
       cam_targetbodyid=_tup(mjm.cam_targetbodyid),
+      cam_resolution=_tup(mjm.cam_resolution),
       light_bodyid=_tup(mjm.light_bodyid),
       light_mode=_tup(mjm.light_mode),
       light_targetbodyid=_tup(mjm.light_targetbodyid),
@@ -497,6 +498,7 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       cam_poscom0=_jp(mjm.cam_poscom0),
       cam_pos0=_jp(mjm.cam_pos0),
       cam_mat0=_jp(mjm.cam_mat0.reshape(mjm.ncam, 3, 3)),
+      cam_fovy=_jp(mjm.cam_fovy),
       light_pos=_jp(mjm.light_pos),
       light_dir=_jp(mjm.light_dir),
       light_poscom0=_jp(mjm.light_poscom0),
@@ -684,7 +686,21 @@ def put_data(mjm: mujoco.MjModel, mjd: mujoco.MjData, m: Model,
 
 def get_data_into(mjd: mujoco.MjData, m: Model, d: Data):
   """Copy one world of device Data back into host MjData (reference
-  io.py:1243). Contact/efc fields are skipped for now (layout differs)."""
+  io.py:1243), including the active contacts (compacted into MjData's
+  variable-size contact array so the native viewer can render them)."""
+  ncon = int(d.ncon)
+  # MjData contact array is resized by mj_forward; emulate by writing
+  # into the existing buffer up to its capacity
+  ncap = len(mjd.contact.dist) if hasattr(mjd.contact, 'dist') else 0
+  nwrite = min(ncon, ncap) if ncap else 0
+  for i in range(nwrite):
+    mjd.contact.dist[i] = float(d.contact.dist[i])
+    mjd.contact.pos[i] = np.asarray(d.contact.pos[i])
+    mjd.contact.frame[i] = np.asarray(d.contact.frame[i]).reshape(-1)
+    mjd.contact.geom[i] = np.asarray(d.contact.geom[i])
+    mjd.contact.dim[i] = int(d.contact.dim[i])
+    mjd.contact.friction[i] = np.asarray(d.contact.friction[i])
+    mjd.contact.includemargin[i] = float(d.contact.includemargin[i])
   for name in ('time', 'qpos', 'qvel', 'act', 'ctrl', 'qacc',
                'qacc_warmstart', 'mocap_pos', 'mocap_quat',
                'xpos', 'xquat', 'xipos', 'xanchor', 'xaxis',
@@ -818,18 +834,33 @@ def override_model(m: Model, overrides: list[str] | str) -> Model:
 
 
 def set_const(m: Model) -> Model:
-  """Recompute derived model constants (body_subtreemass and
-  stat.meaninertia) after body_mass / inertia edits. The reference
-  recomputes subtreemass, invweight0, acc0, meaninertia on device
-  (io.py:2410); invweight0/acc0 recompute needs a forward pass at qpos0
-  and lands with the randomization utilities."""
-  import numpy as np_
+  """Recompute derived model constants after mass/inertia/geometry
+  edits (reference io.py:2197-2465, C mj_setConst): body_subtreemass,
+  dof_M0/meaninertia, and body/dof invweight0 — all on device via one
+  forward-kinematics + CRB pass at qpos0, enabling jit-able domain
+  randomization."""
+  from . import smooth
   subtreemass = jnp.einsum(
       'bc,c->b', m.body_subtree_mask, m.body_mass,
       precision=jax.lax.Precision.HIGHEST)
-  # meaninertia: mean of qM diagonal at qpos0 ~ approximated by dof_M0
-  meaninertia = jnp.mean(m.dof_M0) if m.nv else m.stat.meaninertia
-  del np_
+  m = dataclasses.replace(m, body_subtreemass=subtreemass)
+  if m.nv == 0:
+    return m
+
+  # forward pass at qpos0 to rebuild qM
+  d0 = make_data(m, nconmax=1)
+  d0 = smooth.kinematics(m, d0)
+  d0 = smooth.com_pos(m, d0)
+  d0 = smooth.crb(m, d0)
+  qM = d0.qM
+  dof_M0 = jnp.diagonal(qM)
+  meaninertia = jnp.mean(dof_M0)
+
+  # invweight0: diagonal of M^-1 in dof space; body invweight0 from the
+  # translational/rotational blocks of the com-frame inverse inertia
+  # (C computes via full M^-1; dense nv here is small enough to invert)
+  minv = jnp.linalg.inv(qM)
+  dof_invweight0 = jnp.diagonal(minv)
   return dataclasses.replace(
-      m, body_subtreemass=subtreemass,
+      m, dof_M0=dof_M0, dof_invweight0=dof_invweight0,
       stat=dataclasses.replace(m.stat, meaninertia=meaninertia))

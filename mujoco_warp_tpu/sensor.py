@@ -33,7 +33,8 @@ SUPPORTED_SENSORS = {
     SensorType.JOINTLIMITPOS, SensorType.JOINTLIMITVEL,
     SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITPOS,
     SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
-    SensorType.TENDONACTFRC,
+    SensorType.TENDONACTFRC, SensorType.CAMPROJECTION,
+    SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
 }
 
 
@@ -178,6 +179,47 @@ def sensor_pos(m: Model, d: Data) -> Data:
       from .types import ConstraintType
       sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_TENDON,
                                       objid, d.efc_pos - d.efc_margin))
+    elif stype in (SensorType.GEOMDIST, SensorType.GEOMNORMAL,
+                   SensorType.GEOMFROMTO):
+      # geom-pair distance query via the collision machinery
+      # (C mj_geomDistance); cutoff acts as the search margin
+      from . import collision_driver
+      g1 = objid
+      g2 = m.sensor_refid[s]
+      cutoff = m.sensor_cutoff[s]
+      dists, poss, frames = collision_driver.collide_pair(
+          m, d, g1, g2, cutoff)
+      i = jnp.argmin(dists)
+      dist = jnp.minimum(dists[i], cutoff)
+      pos = poss[i]
+      normal = frames[i][0]
+      # collide_pair may have swapped geom order (by type): flip the
+      # normal back to point g1 -> g2
+      if m.geom_type[g1] > m.geom_type[g2]:
+        normal = -normal
+      hit = dists[i] < cutoff
+      if stype == SensorType.GEOMDIST:
+        sd = _write(sd, adr, dist)
+      elif stype == SensorType.GEOMNORMAL:
+        sd = _write(sd, adr, jnp.where(hit, normal, 0.0))
+      else:
+        p1 = pos - 0.5 * dist * normal
+        p2 = pos + 0.5 * dist * normal
+        fromto = jnp.where(hit, jnp.concatenate([p1, p2]),
+                           jnp.zeros(6, d.qpos.dtype))
+        sd = _write(sd, adr, fromto)
+    elif stype == SensorType.CAMPROJECTION:
+      # project the target onto the camera image (C mjSENS_CAMPROJECTION,
+      # fovy path; pixel conventions verified against the oracle)
+      cam = m.sensor_refid[s]
+      pos, _ = _obj_frame(m, d, objtype, objid)
+      pc = d.cam_xmat[cam].T @ (pos - d.cam_xpos[cam])
+      W, Hres = m.cam_resolution[cam]
+      f = 0.5 * Hres / jnp.tan(0.5 * m.cam_fovy[cam] * jnp.pi / 180.0)
+      zsafe = jnp.where(jnp.abs(pc[2]) < 1e-12, -1e-12, pc[2])
+      xpix = W / 2.0 + f * pc[0] / (-zsafe)
+      ypix = Hres / 2.0 - f * pc[1] / (-zsafe)
+      sd = _write(sd, adr, jnp.stack([xpix, ypix]))
     elif stype == SensorType.RANGEFINDER:
       from . import ray as ray_mod
       pos, mat = _obj_frame(m, d, objtype, objid)

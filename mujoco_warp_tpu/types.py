@@ -328,7 +328,7 @@ _MODEL_META = (
     'geom_type', 'geom_bodyid', 'geom_dataid', 'geom_condim',
     'geom_priority',
     'site_bodyid', 'site_type',
-    'cam_bodyid', 'cam_mode', 'cam_targetbodyid',
+    'cam_bodyid', 'cam_mode', 'cam_targetbodyid', 'cam_resolution',
     'light_bodyid', 'light_mode', 'light_targetbodyid',
     'eq_type', 'eq_obj1id', 'eq_obj2id', 'eq_objtype',
     'actuator_trntype', 'actuator_dyntype', 'actuator_gaintype',
@@ -412,6 +412,7 @@ class Model:
   cam_bodyid: IntTuple
   cam_mode: IntTuple
   cam_targetbodyid: IntTuple
+  cam_resolution: Tuple[IntTuple, ...]
   light_bodyid: IntTuple
   light_mode: IntTuple
   light_targetbodyid: IntTuple
@@ -505,6 +506,7 @@ class Model:
   cam_poscom0: jax.Array
   cam_pos0: jax.Array
   cam_mat0: jax.Array
+  cam_fovy: jax.Array
   light_pos: jax.Array
   light_dir: jax.Array
   light_poscom0: jax.Array

@@ -54,3 +54,20 @@ def test_set_const_after_mass_edit():
   np.testing.assert_allclose(np.asarray(m2.body_subtreemass),
                              np.asarray(m.body_subtreemass) * 2.0,
                              rtol=1e-6)
+
+
+def test_set_const_invweight():
+  """dof_invweight0 recompute matches C mj_setConst after a mass edit."""
+  import mujoco
+  mjm, mjd, m, d = fixture(PENDULUM)
+  mjm.body_mass[1:] *= 1.7
+  mjm.body_inertia[1:] *= 1.7
+  mujoco.mj_setConst(mjm, mjd)
+  m2 = m.replace(body_mass=m.body_mass.at[1:].multiply(1.7),
+                 body_inertia=m.body_inertia.at[1:].multiply(1.7))
+  m2 = io_mod.set_const(m2)
+  np.testing.assert_allclose(np.asarray(m2.dof_invweight0),
+                             mjm.dof_invweight0, rtol=2e-4)
+  np.testing.assert_allclose(np.asarray(m2.dof_M0), mjm.dof_M0, rtol=2e-4)
+  np.testing.assert_allclose(float(m2.stat.meaninertia),
+                             mjm.stat.meaninertia, rtol=2e-4)

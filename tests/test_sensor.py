@@ -159,3 +159,57 @@ def test_ref_frame_sensors():
     ours = ours.copy()
     ours[:4] = -ours[:4]
   np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-4)
+
+
+CAMPROJ = """
+<mujoco>
+  <worldbody>
+    <body pos="0.4 0.1 1.2">
+      <freejoint/>
+      <geom type="sphere" size="0.05" mass="1" contype="0" conaffinity="0"/>
+      <site name="target"/>
+    </body>
+    <camera name="cam" pos="0 -2 1" euler="80 0 10" fovy="50"
+            resolution="320 240"/>
+  </worldbody>
+  <sensor><camprojection site="target" camera="cam"/></sensor>
+</mujoco>
+"""
+
+
+def test_camprojection():
+  mjm, mjd, m, d = fixture(CAMPROJ, qpos_noise=0.1)
+  d = mjwt.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.sensordata), mjd.sensordata,
+                             rtol=1e-4, atol=0.02)
+
+
+GEOMDIST = """
+<mujoco>
+  <worldbody>
+    <body pos="0 0 0.5"><freejoint/>
+      <geom name="g1" type="sphere" size="0.1" mass="1" contype="0"
+            conaffinity="0"/></body>
+    <body pos="0.35 0 0.5"><freejoint/>
+      <geom name="g2" type="box" size="0.08 0.08 0.08" mass="1"
+            contype="0" conaffinity="0"/></body>
+  </worldbody>
+  <sensor>
+    <distance geom1="g1" geom2="g2" cutoff="1"/>
+    <normal geom1="g1" geom2="g2" cutoff="1"/>
+    <fromto geom1="g1" geom2="g2" cutoff="1"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_geomdist_sensors():
+  mjm, mjd, m, d = fixture(GEOMDIST, qpos_noise=0.05)
+  d = mjwt.forward(m, d)
+  ours = np.asarray(d.sensordata)
+  ref = mjd.sensordata
+  np.testing.assert_allclose(ours[0], ref[0], atol=2e-3)   # distance
+  # normal direction (allow small angle error from MPR)
+  n_o, n_r = ours[1:4], ref[1:4]
+  assert n_o @ n_r > 0.98 * np.linalg.norm(n_o) * np.linalg.norm(n_r)
+  np.testing.assert_allclose(ours[4:10], ref[4:10], atol=5e-3)  # fromto
