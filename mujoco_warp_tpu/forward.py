@@ -187,8 +187,31 @@ def _fwd_acceleration_batched(m: Model, d: Data) -> Data:
 
 
 @named('forward')
-def forward(m: Model, d: Data) -> Data:
-  """Full forward dynamics (reference forward.py:973)."""
+def forward(m: Model, d: Data, control_fn=None, passive_fn=None,
+            sensor_fn=None) -> Data:
+  """Full forward dynamics (reference forward.py:973).
+
+  Optional user hooks (the reference's Callback surface,
+  types.py:810-830): each is a jittable ``(Model, Data) -> Data`` called
+  at the same pipeline points as the reference (control before
+  actuation, passive after built-in passive forces, sensor after
+  sensor_acc)."""
+  if control_fn or passive_fn or sensor_fn:
+    d = fwd_position(m, d)
+    d = sensor_mod.sensor_pos(m, d)
+    d = fwd_velocity(m, d)
+    if passive_fn is not None:
+      d = passive_fn(m, d)
+    d = sensor_mod.sensor_vel(m, d)
+    if control_fn is not None:
+      d = control_fn(m, d)
+    d = fwd_actuation(m, d)
+    d = fwd_acceleration(m, d)
+    d = solver_mod.solve(m, d)
+    d = sensor_mod.sensor_acc(m, d)
+    if sensor_fn is not None:
+      d = sensor_fn(m, d)
+    return d
   d = fwd_position(m, d)
   d = sensor_mod.sensor_pos(m, d)
   if m.opt.enableflags & 2:  # EnableBit.ENERGY
@@ -335,9 +358,11 @@ def implicit(m: Model, d: Data) -> Data:
 
 
 @named('step')
-def step(m: Model, d: Data) -> Data:
+def step(m: Model, d: Data, control_fn=None, passive_fn=None,
+         sensor_fn=None) -> Data:
   """Forward dynamics + integration (reference forward.py:1004)."""
-  d = forward(m, d)
+  d = forward(m, d, control_fn=control_fn, passive_fn=passive_fn,
+              sensor_fn=sensor_fn)
   if m.opt.integrator == IntegratorType.EULER:
     return euler(m, d)
   elif m.opt.integrator == IntegratorType.RK4:
