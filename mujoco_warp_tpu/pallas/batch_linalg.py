@@ -27,9 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _cholesky_solve_body(nv: int, a_ref, b_ref, x_ref, l_ref):
-  """Factor A (nv, nv, L) and solve A x = b for one world-lane block."""
-  # Cholesky, column by column; cols[j] is (nv, L)
+_VALUES_MAX = 32  # above this, keeping columns as live values blows
+                  # Mosaic's scoped-vmem stack; accumulate via refs
+
+
+def _cholesky_solve_body_values(nv: int, a_ref, b_ref, x_ref, l_ref):
+  """Small-nv variant: columns kept as live values (faster — no
+  read-after-write serialization against the output ref)."""
   cols = []
   for j in range(nv):
     s = a_ref[:, j, :]
@@ -39,14 +43,12 @@ def _cholesky_solve_body(nv: int, a_ref, b_ref, x_ref, l_ref):
     col = s * inv
     cols.append(col)
     l_ref[:, j, :] = col
-  # forward substitution L y = b
   ys = []
   for j in range(nv):
     yj = b_ref[j, :]
     for k in range(j):
       yj = yj - cols[k][j] * ys[k]
     ys.append(yj / cols[j][j])
-  # backward substitution L^T x = y
   xs = [None] * nv
   for j in range(nv - 1, -1, -1):
     xj = ys[j]
@@ -54,6 +56,35 @@ def _cholesky_solve_body(nv: int, a_ref, b_ref, x_ref, l_ref):
       xj = xj - cols[j][k] * xs[k]
     xs[j] = xj / cols[j][j]
   x_ref[:, :] = jnp.stack(xs, axis=0)
+
+
+def _cholesky_solve_body(nv: int, a_ref, b_ref, x_ref, l_ref):
+  """Factor A (nv, nv, L) and solve A x = b for one world-lane block.
+
+  Columns accumulate THROUGH the output ref (read back per step) so
+  VMEM live-set stays O(1) columns — keeping all columns as values made
+  Mosaic's stack exceed scoped vmem beyond nv~40."""
+  if nv <= _VALUES_MAX:
+    return _cholesky_solve_body_values(nv, a_ref, b_ref, x_ref, l_ref)
+  # Cholesky, column by column
+  for j in range(nv):
+    s = a_ref[:, j, :]
+    for k in range(j):
+      s = s - l_ref[:, k, :] * l_ref[j, k, :][None, :]
+    inv = jax.lax.rsqrt(jnp.maximum(s[j], 1e-15))[None, :]
+    l_ref[:, j, :] = s * inv
+  # forward substitution L y = b (y staged in x_ref)
+  for j in range(nv):
+    yj = b_ref[j, :]
+    for k in range(j):
+      yj = yj - l_ref[j, k, :] * x_ref[k, :]
+    x_ref[j, :] = yj / l_ref[j, j, :]
+  # backward substitution L^T x = y, in place
+  for j in range(nv - 1, -1, -1):
+    xj = x_ref[j, :]
+    for k in range(j + 1, nv):
+      xj = xj - l_ref[k, j, :] * x_ref[k, :]
+    x_ref[j, :] = xj / l_ref[j, j, :]
 
 
 @functools.partial(jax.jit, static_argnames=('return_factor',))
@@ -105,19 +136,16 @@ def spd_solve_batched(a: jax.Array, b: jax.Array,
 
 
 def _solve_from_factor_body(nv: int, l_ref, b_ref, x_ref):
-  ys = []
   for j in range(nv):
     yj = b_ref[j, :]
     for k in range(j):
-      yj = yj - l_ref[j, k, :] * ys[k]
-    ys.append(yj / l_ref[j, j, :])
-  xs = [None] * nv
+      yj = yj - l_ref[j, k, :] * x_ref[k, :]
+    x_ref[j, :] = yj / l_ref[j, j, :]
   for j in range(nv - 1, -1, -1):
-    xj = ys[j]
+    xj = x_ref[j, :]
     for k in range(j + 1, nv):
-      xj = xj - l_ref[k, j, :] * xs[k]
-    xs[j] = xj / l_ref[j, j, :]
-  x_ref[:, :] = jnp.stack(xs, axis=0)
+      xj = xj - l_ref[k, j, :] * x_ref[k, :]
+    x_ref[j, :] = xj / l_ref[j, j, :]
 
 
 @jax.jit

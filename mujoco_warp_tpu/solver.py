@@ -60,7 +60,7 @@ def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
   """SPD solve, dispatched: Pallas lane-batched kernel on TPU for
   batched inputs, unrolled scalar version otherwise (LAPACK-style
   jnp.linalg above nv=32, where unrolling blows up compile time)."""
-  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 64:
+  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 96:
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b)
   if a.shape[-1] > 32:
@@ -72,7 +72,7 @@ def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
 
 def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
   """Batched SPD factor + solve; returns (x, L)."""
-  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 64:
+  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 96:
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b, return_factor=True)
   if a.shape[-1] > 32:
@@ -87,7 +87,7 @@ def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
 
 
 def cho_solve(m: Model, l: jax.Array, b: jax.Array) -> jax.Array:
-  if l.ndim == 3 and jax.default_backend() == 'tpu' and l.shape[-1] <= 64:
+  if l.ndim == 3 and jax.default_backend() == 'tpu' and l.shape[-1] <= 96:
     from .pallas import batch_linalg
     return batch_linalg.cho_solve_batched(l, b)
   if l.shape[-1] > 32:

@@ -221,6 +221,25 @@ def object_acceleration(m: Model, d: Data, objtype: int, objid: int):
   return acc.at[3:].add(corr), vel
 
 
+def jac_dot(m: Model, d: Data, point: jax.Array, bodyid: int
+            ) -> tuple[jax.Array, jax.Array]:
+  """Time derivative of the point jacobians (reference support.py:505;
+  C mj_jacDot): d/dt of jac() holding the point fixed on the body.
+  Requires com_vel products (cvel, cdof_dot)."""
+  mask = m.body_dof_ancestor_mask[bodyid]           # (nv,)
+  offset = point - d.subtree_com[m.body_rootid[bodyid]]
+  # velocity of the body-fixed point (world frame)
+  pvel = math.transform_motion(d.cvel[bodyid], offset)
+  v_pt = pvel[3:]
+  jacr_dot = d.cdof_dot[:, :3] * mask[:, None]
+  jacp_dot = (d.cdof_dot[:, 3:]
+              - jnp.cross(jnp.broadcast_to(offset, (m.nv, 3)),
+                          d.cdof_dot[:, :3])
+              - jnp.cross(jnp.broadcast_to(v_pt, (m.nv, 3)),
+                          d.cdof[:, :3])) * mask[:, None]
+  return jacp_dot.T, jacr_dot.T
+
+
 def apply_ft(m: Model, d: Data, force: jax.Array, torque: jax.Array,
              point: jax.Array, bodyid: int) -> jax.Array:
   """Generalized force from a wrench at a world point on a body

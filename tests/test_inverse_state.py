@@ -77,3 +77,39 @@ def test_reset_data():
   d = mjwt.reset_data(m, d)
   np.testing.assert_allclose(d.qpos, m.qpos0)
   assert float(d.time) == 0.0
+
+
+def test_jac_dot_finite_difference():
+  """J_dot @ qvel == d/dt (J @ qvel contribution): check via FD of the
+  point jacobian along the current motion."""
+  from mujoco_warp_tpu import support, smooth
+  mjm, mjd, m, d = fixture(BALL_CHAIN, qpos_noise=0.2, qvel_noise=0.5)
+  d = mjwt.fwd_position(m, d)
+  d = mjwt.fwd_velocity(m, d)
+  body = m.nbody - 1
+  point_local = np.array([0.03, 0.01, 0.02], np.float32)
+
+  def jac_at(dd):
+    pt = dd.xpos[body] + dd.xmat[body] @ jnp.asarray(point_local)
+    jp, jr = support.jac(m, dd, pt, body)
+    return jp, jr, pt
+
+  jp0, jr0, pt0 = jac_at(d)
+  jpd, jrd = support.jac_dot(m, d, pt0, body)
+
+  # FD: integrate qpos by qvel*h, recompute jacobian
+  h = 1e-4
+  from mujoco_warp_tpu.forward import _integrate_pos
+  qpos1 = _integrate_pos(m, d.qpos, d.qvel, h)
+  d1 = d.replace(qpos=qpos1)
+  d1 = mjwt.fwd_position(m, d1)
+  d1 = mjwt.fwd_velocity(m, d1)
+  jp1, jr1, _ = jac_at(d1)
+  fd_jp = (np.asarray(jp1) - np.asarray(jp0)) / h
+  fd_jr = (np.asarray(jr1) - np.asarray(jr0)) / h
+  # compare the action on qvel (the physically meaningful product)
+  qv = np.asarray(d.qvel)
+  np.testing.assert_allclose(np.asarray(jpd) @ qv, fd_jp @ qv,
+                             rtol=2e-2, atol=2e-2)
+  np.testing.assert_allclose(np.asarray(jrd) @ qv, fd_jr @ qv,
+                             rtol=2e-2, atol=2e-2)
