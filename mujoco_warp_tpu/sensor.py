@@ -35,6 +35,7 @@ SUPPORTED_SENSORS = {
     SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
     SensorType.TENDONACTFRC, SensorType.CAMPROJECTION,
     SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
+    SensorType.INSIDESITE,
 }
 
 
@@ -179,6 +180,25 @@ def sensor_pos(m: Model, d: Data) -> Data:
       from .types import ConstraintType
       sd = _write(sd, adr, _limit_row(m, d, ConstraintType.LIMIT_TENDON,
                                       objid, d.efc_pos - d.efc_margin))
+    elif stype == SensorType.INSIDESITE:
+      # 1.0 if the object's point is inside the site volume
+      # (C mjSENS_INSIDESITE; site types: sphere/ellipsoid/box/cylinder)
+      site = m.sensor_refid[s]
+      pos, _ = _obj_frame(m, d, objtype, objid)
+      loc = d.site_xmat[site].T @ (pos - d.site_xpos[site])
+      size = m.site_size[site]
+      st = m.site_type[site]
+      from .types import GeomType
+      if st == GeomType.SPHERE:
+        inside = math.norm(loc) <= size[0]
+      elif st == GeomType.ELLIPSOID:
+        inside = jnp.sum((loc / size) ** 2) <= 1.0
+      elif st == GeomType.CYLINDER:
+        inside = (jnp.sqrt(loc[0] ** 2 + loc[1] ** 2) <= size[0]) & (
+            jnp.abs(loc[2]) <= size[1])
+      else:  # box (and capsule approx as box)
+        inside = jnp.all(jnp.abs(loc) <= size[:3])
+      sd = _write(sd, adr, inside.astype(d.qpos.dtype))
     elif stype in (SensorType.GEOMDIST, SensorType.GEOMNORMAL,
                    SensorType.GEOMFROMTO):
       # geom-pair distance query via the collision machinery

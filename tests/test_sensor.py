@@ -213,3 +213,31 @@ def test_geomdist_sensors():
   n_o, n_r = ours[1:4], ref[1:4]
   assert n_o @ n_r > 0.98 * np.linalg.norm(n_o) * np.linalg.norm(n_r)
   np.testing.assert_allclose(ours[4:10], ref[4:10], atol=5e-3)  # fromto
+
+
+INSIDESITE = """
+<mujoco>
+  <worldbody>
+    <site name="zone" pos="0 0 0.5" type="box" size="0.3 0.3 0.3"/>
+    <body pos="0 0 0.5"><freejoint/>
+      <geom type="sphere" size="0.05" mass="1" contype="0"
+            conaffinity="0"/>
+      <site name="pt"/></body>
+    <body pos="2 0 0.5"><freejoint/>
+      <geom type="sphere" size="0.05" mass="1" contype="0"
+            conaffinity="0"/>
+      <site name="pt2"/></body>
+  </worldbody>
+  <sensor>
+    <insidesite site="zone" objtype="site" objname="pt"/>
+    <insidesite site="zone" objtype="site" objname="pt2"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_insidesite():
+  mjm, mjd, m, d = fixture(INSIDESITE)
+  d = mjwt.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.sensordata), mjd.sensordata)
+  assert float(d.sensordata[0]) == 1.0 and float(d.sensordata[1]) == 0.0
