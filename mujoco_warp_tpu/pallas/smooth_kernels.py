@@ -122,6 +122,179 @@ def _kinematics_kernel(m: Model, qpos_ref, bp_ref, bq_ref, jp_ref, ja_ref,
     xquat_ref[b] = xq
 
 
+def _cross(a, b):
+  return jnp.concatenate([
+      a[1:2] * b[2:3] - a[2:3] * b[1:2],
+      a[2:3] * b[0:1] - a[0:1] * b[2:3],
+      a[0:1] * b[1:2] - a[1:2] * b[0:1]], axis=0)
+
+
+def _quat2mat_cols(q):
+  """Quaternion (4, L) -> rotation matrix columns (list of 3 (3, L))."""
+  w, x, y, z = q[0:1], q[1:2], q[2:3], q[3:4]
+  c0 = jnp.concatenate([1 - 2 * (y * y + z * z),
+                        2 * (x * y + w * z),
+                        2 * (x * z - w * y)], axis=0)
+  c1 = jnp.concatenate([2 * (x * y - w * z),
+                        1 - 2 * (x * x + z * z),
+                        2 * (y * z + w * x)], axis=0)
+  c2 = jnp.concatenate([2 * (x * z + w * y),
+                        2 * (y * z - w * x),
+                        1 - 2 * (x * x + y * y)], axis=0)
+  return c0, c1, c2
+
+
+def _com_pos_kernel(m: Model, xpos_ref, xquat_ref, xanchor_ref, xaxis_ref,
+                    ipos_ref, iquat_ref, mass_ref, inert_ref, stm_ref,
+                    com_ref, cinert_ref, cdof_ref, acc_ref):
+  """Subtree COM + com-frame inertia + dof axes for one lane block
+  (reference smooth.py:602; C mj_comPos). Tree accumulations are static
+  unrolled reverse walks in VMEM — no masked matmuls, no gathers."""
+  L = xpos_ref.shape[-1]
+  dt = jnp.float32
+  one = jnp.ones((1, L), dt)
+
+  # xipos + mass-weighted accumulation (acc holds weighted sums)
+  for b in range(m.nbody):
+    q = xquat_ref[b]
+    ipos = ipos_ref[:, b:b + 1] * one
+    xipos = xpos_ref[b] + _qrot(ipos, q)
+    acc_ref[b] = xipos * mass_ref[0, b]
+  for b in range(m.nbody - 1, 0, -1):
+    p = m.body_parentid[b]
+    acc_ref[p] = acc_ref[p] + acc_ref[b]
+  for b in range(m.nbody):
+    com_ref[b] = acc_ref[b] / jnp.maximum(stm_ref[0, b], 1e-12)
+
+  # cinert: spatial inertia about the root subtree com
+  for b in range(m.nbody):
+    if b == 0:
+      cinert_ref[b] = jnp.zeros((10, L), dt)
+      continue
+    q = xquat_ref[b]
+    iq = iquat_ref[:, b:b + 1] * one
+    ximat_q = _qmul(q, iq)
+    c0, c1, c2 = _quat2mat_cols(ximat_q)
+    ipos = ipos_ref[:, b:b + 1] * one
+    xipos = xpos_ref[b] + _qrot(ipos, q)
+    root = m.body_rootid[b]
+    off = xipos - com_ref[root]
+    ii = inert_ref[:, b:b + 1]              # (3, 1) diag inertia
+    # I_world = R diag(i) R^T, columns c_k scaled by i_k
+    m00 = ii[0:1] * c0[0:1] * c0[0:1] + ii[1:2] * c1[0:1] * c1[0:1] + \
+        ii[2:3] * c2[0:1] * c2[0:1]
+    m11 = ii[0:1] * c0[1:2] * c0[1:2] + ii[1:2] * c1[1:2] * c1[1:2] + \
+        ii[2:3] * c2[1:2] * c2[1:2]
+    m22 = ii[0:1] * c0[2:3] * c0[2:3] + ii[1:2] * c1[2:3] * c1[2:3] + \
+        ii[2:3] * c2[2:3] * c2[2:3]
+    m01 = ii[0:1] * c0[0:1] * c0[1:2] + ii[1:2] * c1[0:1] * c1[1:2] + \
+        ii[2:3] * c2[0:1] * c2[1:2]
+    m02 = ii[0:1] * c0[0:1] * c0[2:3] + ii[1:2] * c1[0:1] * c1[2:3] + \
+        ii[2:3] * c2[0:1] * c2[2:3]
+    m12 = ii[0:1] * c0[1:2] * c0[2:3] + ii[1:2] * c1[1:2] * c1[2:3] + \
+        ii[2:3] * c2[1:2] * c2[2:3]
+    mb = mass_ref[0, b]
+    d2 = off[0:1] ** 2 + off[1:2] ** 2 + off[2:3] ** 2
+    # parallel axis
+    m00 = m00 + mb * (d2 - off[0:1] * off[0:1])
+    m11 = m11 + mb * (d2 - off[1:2] * off[1:2])
+    m22 = m22 + mb * (d2 - off[2:3] * off[2:3])
+    m01 = m01 - mb * off[0:1] * off[1:2]
+    m02 = m02 - mb * off[0:1] * off[2:3]
+    m12 = m12 - mb * off[1:2] * off[2:3]
+    mc = mb * off
+    cinert_ref[b] = jnp.concatenate(
+        [m00, m11, m22, m01, m02, m12, mc, mb * one], axis=0)
+
+  # cdof
+  for j in range(m.njnt):
+    b = m.jnt_bodyid[j]
+    jt = m.jnt_type[j]
+    dadr = m.jnt_dofadr[j]
+    root = m.body_rootid[b]
+    off = xanchor_ref[j] - com_ref[root]
+    if jt == JointType.FREE:
+      zeros = jnp.zeros((3, L), dt)
+      z1 = jnp.zeros((1, L), dt)
+      o1 = jnp.ones((1, L), dt)
+      for i in range(3):
+        rows = [z1, z1, z1]
+        rows[i] = o1
+        e = jnp.concatenate(rows, axis=0)
+        cdof_ref[dadr + i] = jnp.concatenate([zeros, e], axis=0)
+      c0, c1, c2 = _quat2mat_cols(xquat_ref[b])
+      for i, ax in enumerate((c0, c1, c2)):
+        cdof_ref[dadr + 3 + i] = jnp.concatenate(
+            [ax, _cross(ax, -off)], axis=0)
+    elif jt == JointType.BALL:
+      c0, c1, c2 = _quat2mat_cols(xquat_ref[b])
+      for i, ax in enumerate((c0, c1, c2)):
+        cdof_ref[dadr + i] = jnp.concatenate([ax, _cross(ax, -off)],
+                                             axis=0)
+    elif jt == JointType.SLIDE:
+      cdof_ref[dadr] = jnp.concatenate(
+          [jnp.zeros((3, L), dt), xaxis_ref[j]], axis=0)
+    else:  # hinge
+      ax = xaxis_ref[j]
+      cdof_ref[dadr] = jnp.concatenate([ax, _cross(ax, -off)], axis=0)
+
+
+@jax.jit
+def com_pos_batched(m: Model, xpos: jax.Array, xquat: jax.Array,
+                    xanchor: jax.Array, xaxis: jax.Array):
+  """(W, nbody/njnt, ...) inputs -> (subtree_com (W, nbody, 3),
+  cinert (W, nbody, 10), cdof (W, nv, 6))."""
+  W = xpos.shape[0]
+  wpad = -(-W // LANES) * LANES
+  bl = lambda x: jnp.moveaxis(x, 0, -1)  # batch-last
+  pad = lambda x: (jnp.pad(x, ((0, 0),) * (x.ndim - 1) +
+                           ((0, wpad - W),)) if wpad != W else x)
+  xpos_t, xquat_t = pad(bl(xpos)), pad(bl(xquat))
+  xanchor_t, xaxis_t = pad(bl(xanchor)), pad(bl(xaxis))
+  nb, nj, nv = m.nbody, max(m.njnt, 1), max(m.nv, 1)
+
+  kernel = functools.partial(_com_pos_kernel, m)
+  vm = pltpu.VMEM
+  outs = pl.pallas_call(
+      kernel,
+      grid=(wpad // LANES,),
+      in_specs=[
+          pl.BlockSpec((nb, 3, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((nb, 4, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((nj, 3, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((nj, 3, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((3, nb), lambda i: (0, 0), memory_space=vm),
+          pl.BlockSpec((4, nb), lambda i: (0, 0), memory_space=vm),
+          pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=vm),
+          pl.BlockSpec((3, nb), lambda i: (0, 0), memory_space=vm),
+          pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=vm),
+      ],
+      out_specs=[
+          pl.BlockSpec((nb, 3, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((nb, 10, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((nv, 6, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((nb, 3, wpad), xpos.dtype),
+          jax.ShapeDtypeStruct((nb, 10, wpad), xpos.dtype),
+          jax.ShapeDtypeStruct((nv, 6, wpad), xpos.dtype),
+      ],
+      scratch_shapes=[pltpu.VMEM((nb, 3, LANES), jnp.float32)],
+  )(xpos_t, xquat_t, xanchor_t, xaxis_t,
+    m.body_ipos.T, m.body_iquat.T, m.body_mass[None],
+    m.body_inertia.T, m.body_subtreemass[None])
+  com, cinert, cdof = outs
+  t = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
+  return t(com), t(cinert), t(cdof)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def kinematics_batched(m: Model, qpos: jax.Array):
   """FK for a (W, nq) batch in one Pallas sweep. Returns

@@ -52,3 +52,30 @@ def test_pallas_spd_solve_cpu_fallback():
   x = solver.spd_solve(m, a, b)
   ref = np.linalg.solve(np.asarray(a), np.asarray(b)[..., None])[..., 0]
   np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not TPU, reason='Mosaic kernels need a TPU')
+@pytest.mark.parametrize('xml', [PENDULUM, BALL_CHAIN, HOPPER])
+def test_pallas_com_pos_parity(xml):
+  from mujoco_warp_tpu.pallas import smooth_kernels
+  mjm, mjd, m, d = fixture(xml, qpos_noise=0.3)
+  W = 256
+  rng = np.random.default_rng(1)
+  qpos = jnp.asarray(
+      np.tile(np.asarray(d.qpos), (W, 1)) +
+      0.1 * rng.standard_normal((W, m.nq)), jnp.float32)
+  qn = jax.jit(jax.vmap(lambda q: smooth._normalize_qpos(m, q)))(qpos)
+  xp, xq, xa, xx = jax.jit(
+      lambda q: smooth_kernels.kinematics_batched(m, q))(qn)
+  com, cinert, cdof = jax.jit(
+      lambda a, b, c, e: smooth_kernels.com_pos_batched(m, a, b, c, e))(
+      xp, xq, xa, xx)
+  ref = jax.jit(jax.vmap(lambda q: smooth.com_pos(
+      m, smooth.kinematics(m, d.replace(qpos=q)))))(qn)
+  np.testing.assert_allclose(np.asarray(com), np.asarray(ref.subtree_com),
+                             atol=2e-5)
+  np.testing.assert_allclose(np.asarray(cdof), np.asarray(ref.cdof),
+                             atol=2e-5)
+  # cinert: f32 accumulation-order noise scales with mass*inertia
+  np.testing.assert_allclose(np.asarray(cinert), np.asarray(ref.cinert),
+                             atol=2e-3)
