@@ -295,6 +295,162 @@ def com_pos_batched(m: Model, xpos: jax.Array, xquat: jax.Array,
   return t(com), t(cinert), t(cdof)
 
 
+def _inert_mul(i10, v):
+  """(10, L) spatial inertia x (6, L) motion -> (6, L) force."""
+  ang, lin = v[0:3], v[3:6]
+  ixx, iyy, izz = i10[0:1], i10[1:2], i10[2:3]
+  ixy, ixz, iyz = i10[3:4], i10[4:5], i10[5:6]
+  mc = i10[6:9]
+  mm = i10[9:10]
+  oa = jnp.concatenate([
+      ixx * ang[0:1] + ixy * ang[1:2] + ixz * ang[2:3],
+      ixy * ang[0:1] + iyy * ang[1:2] + iyz * ang[2:3],
+      ixz * ang[0:1] + iyz * ang[1:2] + izz * ang[2:3]], axis=0)
+  oa = oa + _cross(mc, lin)
+  ol = mm * lin - _cross(mc, ang)
+  return jnp.concatenate([oa, ol], axis=0)
+
+
+def _crb_kernel(m: Model, cinert_ref, cdof_ref, arm_ref,
+                crb_ref, qm_ref):
+  """Composite rigid body + dense qM for one lane block (reference
+  smooth.py:889; C mj_crb). Reverse tree accumulation + static
+  ancestor-chain walks in VMEM — no masked matmuls or gathers."""
+  L = cinert_ref.shape[-1]
+  dt = jnp.float32
+  # crb = subtree sum of cinert
+  for b in range(m.nbody):
+    crb_ref[b] = cinert_ref[b]
+  for b in range(m.nbody - 1, 0, -1):
+    p = m.body_parentid[b]
+    if p != 0:
+      crb_ref[p] = crb_ref[p] + crb_ref[b]
+
+  # dense qM: zero all rows, then fill ancestor-chain entries
+  for i in range(m.nv):
+    qm_ref[i] = jnp.zeros((m.nv, L), dt)
+  for i in range(m.nv):
+    buf = _inert_mul(crb_ref[m.dof_bodyid[i]], cdof_ref[i])  # (6, L)
+    for j in m.dof_ancestor_rows[i]:
+      val = jnp.sum(buf * cdof_ref[j], axis=0, keepdims=True)
+      if j == i:
+        val = val + arm_ref[0, i]
+      qm_ref[i, j] = val[0]
+      if j != i:
+        qm_ref[j, i] = val[0]
+
+
+@jax.jit
+def crb_batched(m: Model, cinert: jax.Array, cdof: jax.Array):
+  """(W, nbody, 10), (W, nv, 6) -> (crb (W, nbody, 10), qM (W, nv, nv))."""
+  W = cinert.shape[0]
+  wpad = -(-W // LANES) * LANES
+  bl = lambda x: jnp.moveaxis(x, 0, -1)
+  pad = lambda x: (jnp.pad(x, ((0, 0),) * (x.ndim - 1) +
+                           ((0, wpad - W),)) if wpad != W else x)
+  ci_t = pad(bl(cinert))
+  cd_t = pad(bl(cdof))
+  nb, nv = m.nbody, max(m.nv, 1)
+
+  kernel = functools.partial(_crb_kernel, m)
+  vm = pltpu.VMEM
+  crb, qm = pl.pallas_call(
+      kernel,
+      grid=(wpad // LANES,),
+      in_specs=[
+          pl.BlockSpec((nb, 10, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((nv, 6, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((1, nv), lambda i: (0, 0), memory_space=vm),
+      ],
+      out_specs=[
+          pl.BlockSpec((nb, 10, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+          pl.BlockSpec((nv, nv, LANES), lambda i: (0, 0, i),
+                       memory_space=vm),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((nb, 10, wpad), cinert.dtype),
+          jax.ShapeDtypeStruct((nv, nv, wpad), cinert.dtype),
+      ],
+  )(ci_t, cd_t, m.dof_armature[None])
+  t = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
+  return t(crb), t(qm)
+
+
+def _smooth_front_kernel(m: Model, qpos_ref, bp_ref, bq_ref, jp_ref,
+                         ja_ref, q0_ref, mp_ref, mq_ref, ipos_ref,
+                         iquat_ref, mass_ref, inert_ref, stm_ref, arm_ref,
+                         xpos_ref, xquat_ref, xanchor_ref, xaxis_ref,
+                         com_ref, cinert_ref, cdof_ref, crb_ref, qm_ref,
+                         acc_ref):
+  """Fused kinematics -> com_pos -> crb: the whole position-stage smooth
+  front in ONE kernel per lane block — zero HBM round trips or
+  transposes between stages (the r2 megakernel pattern)."""
+  _kinematics_kernel(m, qpos_ref, bp_ref, bq_ref, jp_ref, ja_ref, q0_ref,
+                     mp_ref, mq_ref, xpos_ref, xquat_ref, xanchor_ref,
+                     xaxis_ref)
+  _com_pos_kernel(m, xpos_ref, xquat_ref, xanchor_ref, xaxis_ref,
+                  ipos_ref, iquat_ref, mass_ref, inert_ref, stm_ref,
+                  com_ref, cinert_ref, cdof_ref, acc_ref)
+  _crb_kernel(m, cinert_ref, cdof_ref, arm_ref, crb_ref, qm_ref)
+
+
+@jax.jit
+def smooth_front_batched(m: Model, qpos: jax.Array):
+  """qpos (W, nq) -> dict of position-stage products (xpos, xquat,
+  xanchor, xaxis, subtree_com, cinert, cdof, crb, qM), all (W, ...)."""
+  W, nq = qpos.shape
+  wpad = -(-W // LANES) * LANES
+  qt = qpos.T
+  if wpad != W:
+    qt = jnp.pad(qt, ((0, 0), (0, wpad - W)))
+  nb, nj, nv = m.nbody, max(m.njnt, 1), max(m.nv, 1)
+
+  kernel = functools.partial(_smooth_front_kernel, m)
+  vm = pltpu.VMEM
+  const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=vm)
+  lane2 = lambda a: pl.BlockSpec((a, LANES), lambda i: (0, i),
+                                 memory_space=vm)
+  lane3 = lambda a, b: pl.BlockSpec((a, b, LANES), lambda i: (0, 0, i),
+                                    memory_space=vm)
+  nm = max(m.nmocap, 1)
+  outs = pl.pallas_call(
+      kernel,
+      grid=(wpad // LANES,),
+      in_specs=[
+          lane2(nq), const((3, nb)), const((4, nb)), const((3, nj)),
+          const((3, nj)), const((nq, 1)), const((3, nm)), const((4, nm)),
+          const((3, nb)), const((4, nb)), const((1, nb)), const((3, nb)),
+          const((1, nb)), const((1, nv)),
+      ],
+      out_specs=[
+          lane3(nb, 3), lane3(nb, 4), lane3(nj, 3), lane3(nj, 3),
+          lane3(nb, 3), lane3(nb, 10), lane3(nv, 6), lane3(nb, 10),
+          lane3(nv, nv),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct(s + (wpad,), qpos.dtype) for s in
+          [(nb, 3), (nb, 4), (nj, 3), (nj, 3), (nb, 3), (nb, 10),
+           (nv, 6), (nb, 10), (nv, nv)]
+      ],
+      scratch_shapes=[pltpu.VMEM((nb, 3, LANES), jnp.float32)],
+  )(qt, m.body_pos.T, m.body_quat.T,
+    (m.jnt_pos.T if m.njnt else jnp.zeros((3, 1), qpos.dtype)),
+    (m.jnt_axis.T if m.njnt else jnp.zeros((3, 1), qpos.dtype)),
+    m.qpos0[:, None],
+    (m.mocap_pos0.T if m.nmocap else jnp.zeros((3, 1), qpos.dtype)),
+    (m.mocap_quat0.T if m.nmocap else jnp.zeros((4, 1), qpos.dtype)),
+    m.body_ipos.T, m.body_iquat.T, m.body_mass[None], m.body_inertia.T,
+    m.body_subtreemass[None], m.dof_armature[None])
+  t = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
+  names = ('xpos', 'xquat', 'xanchor', 'xaxis', 'subtree_com', 'cinert',
+           'cdof', 'crb', 'qM')
+  return {k: t(v) for k, v in zip(names, outs)}
+
+
 @functools.partial(jax.jit, static_argnames=())
 def kinematics_batched(m: Model, qpos: jax.Array):
   """FK for a (W, nq) batch in one Pallas sweep. Returns

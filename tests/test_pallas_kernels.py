@@ -79,3 +79,29 @@ def test_pallas_com_pos_parity(xml):
   # cinert: f32 accumulation-order noise scales with mass*inertia
   np.testing.assert_allclose(np.asarray(cinert), np.asarray(ref.cinert),
                              atol=2e-3)
+
+
+@pytest.mark.skipif(not TPU, reason='Mosaic kernels need a TPU')
+@pytest.mark.parametrize('xml', [PENDULUM, BALL_CHAIN, HOPPER])
+def test_pallas_smooth_front_parity(xml):
+  """Fused kinematics+com_pos+crb kernel matches the jnp pipeline."""
+  from mujoco_warp_tpu.pallas import smooth_kernels
+  mjm, mjd, m, d = fixture(xml, qpos_noise=0.3)
+  W = 256
+  rng = np.random.default_rng(2)
+  qpos = jnp.asarray(
+      np.tile(np.asarray(d.qpos), (W, 1)) +
+      0.1 * rng.standard_normal((W, m.nq)), jnp.float32)
+  qn = jax.jit(jax.vmap(lambda q: smooth._normalize_qpos(m, q)))(qpos)
+  out = jax.jit(lambda q: smooth_kernels.smooth_front_batched(m, q))(qn)
+  ref = jax.jit(jax.vmap(lambda q: smooth.crb(m, smooth.com_pos(
+      m, smooth.kinematics(m, d.replace(qpos=q))))))(qn)
+  np.testing.assert_allclose(np.asarray(out['xpos']),
+                             np.asarray(ref.xpos), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(out['subtree_com']),
+                             np.asarray(ref.subtree_com), atol=2e-5)
+  np.testing.assert_allclose(np.asarray(out['cdof']),
+                             np.asarray(ref.cdof), atol=2e-5)
+  scale = float(np.abs(np.asarray(ref.qM)).max())
+  np.testing.assert_allclose(np.asarray(out['qM']) / scale,
+                             np.asarray(ref.qM) / scale, atol=1e-4)
