@@ -6,11 +6,16 @@ pjit/shard_map over a device mesh. See SURVEY.md for the layer map.
 """
 
 from .io import (
+    find_keys,
     get_data_into,
     make_data,
+    make_trajectory,
+    override_model,
     put_data,
     put_model,
     reset_data,
+    reset_data_masked,
+    set_const,
 )
 from .types import (
     BiasType,

@@ -607,12 +607,28 @@ def make_data(m: Model, nconmax: int | None = None,
               njmax: int | None = None) -> Data:
   """Allocate a single-world Data at qpos0 (vmap this and put_model's output
   stays shared). nconmax defaults mirror the reference ladder heuristic
-  (io.py:664-688) in spirit: enough for the static candidate count."""
-  del njmax  # row budget is derived statically from nconmax; kept for API
+  (io.py:664-688) in spirit: enough for the static candidate count.
+
+  Overflow semantics: if more than nconmax candidates hit in a step, the
+  nconmax deepest are kept and the rest dropped; ``d.ncollision`` counts
+  all hits while ``d.ncon`` counts the kept ones, so
+  ``ncollision > ncon`` signals contact overflow (the reference warns
+  in-kernel, forward.py:192-210 — here the counters are the signal).
+
+  njmax: optional row budget check. The static efc layout derived from
+  nconmax already guarantees capacity, so njmax cannot change the
+  allocation; a value below the static requirement is an error (the
+  requested budget would be silently exceeded)."""
   if nconmax is None:
     nconmax = max(min(m.nxn_candidates, 64), 1)
   nconmax = max(nconmax, 1)
   _, _, _, _, njmax_actual = efc_layout(m, nconmax)
+  if njmax is not None and njmax < njmax_actual:
+    raise ValueError(
+        f'njmax={njmax} is below the static efc row requirement '
+        f'{njmax_actual} for nconmax={nconmax}; rows live at fixed '
+        f'addresses so the budget cannot be honored — raise njmax or '
+        f'lower nconmax')
   nv, nq, nu, na, nbody = m.nv, m.nq, m.nu, m.na, m.nbody
   f = jnp.float32
   z = lambda *s: jnp.zeros(s, dtype=f)
@@ -836,31 +852,106 @@ def override_model(m: Model, overrides: list[str] | str) -> Model:
 def set_const(m: Model) -> Model:
   """Recompute derived model constants after mass/inertia/geometry
   edits (reference io.py:2197-2465, C mj_setConst): body_subtreemass,
-  dof_M0/meaninertia, and body/dof invweight0 — all on device via one
-  forward-kinematics + CRB pass at qpos0, enabling jit-able domain
-  randomization."""
+  dof_M0/meaninertia, dof/body/tendon invweight0, tendon_length0,
+  actuator_acc0, cam/light reference poses, and position-actuator
+  dampratio resolution — all on device via one forward pass at qpos0,
+  enabling jit-able domain randomization."""
   from . import smooth
-  subtreemass = jnp.einsum(
-      'bc,c->b', m.body_subtree_mask, m.body_mass,
-      precision=jax.lax.Precision.HIGHEST)
+  from .types import JointType
+  _hi = dict(precision=jax.lax.Precision.HIGHEST)
+  subtreemass = jnp.einsum('bc,c->b', m.body_subtree_mask, m.body_mass,
+                           **_hi)
   m = dataclasses.replace(m, body_subtreemass=subtreemass)
   if m.nv == 0:
     return m
 
-  # forward pass at qpos0 to rebuild qM
+  # forward pass at qpos0 to rebuild position-stage products
   d0 = make_data(m, nconmax=1)
   d0 = smooth.kinematics(m, d0)
   d0 = smooth.com_pos(m, d0)
+  d0 = smooth.camlight(m, d0)
+  d0 = smooth.tendon(m, d0)
   d0 = smooth.crb(m, d0)
+  d0 = d0.replace(qLD=jnp.linalg.cholesky(d0.qM))
+  d0 = smooth.transmission(m, d0)
   qM = d0.qM
   dof_M0 = jnp.diagonal(qM)
   meaninertia = jnp.mean(dof_M0)
 
-  # invweight0: diagonal of M^-1 in dof space; body invweight0 from the
-  # translational/rotational blocks of the com-frame inverse inertia
-  # (C computes via full M^-1; dense nv here is small enough to invert)
+  # diag of A = M^-1 with per-joint averaging (reference
+  # _finalize_dof_invweight0): FREE averages trans/rot triples, BALL
+  # averages its 3 dofs, scalar joints take their own entry
   minv = jnp.linalg.inv(qM)
-  dof_invweight0 = jnp.diagonal(minv)
-  return dataclasses.replace(
-      m, dof_M0=dof_M0, dof_invweight0=dof_invweight0,
-      stat=dataclasses.replace(m.stat, meaninertia=meaninertia))
+  a_diag = jnp.diagonal(minv)
+  dof_invweight0 = a_diag
+  for j in range(m.njnt):
+    jt, dadr = m.jnt_type[j], m.jnt_dofadr[j]
+    if jt == JointType.FREE:
+      dof_invweight0 = dof_invweight0.at[dadr:dadr + 3].set(
+          jnp.mean(a_diag[dadr:dadr + 3]))
+      dof_invweight0 = dof_invweight0.at[dadr + 3:dadr + 6].set(
+          jnp.mean(a_diag[dadr + 3:dadr + 6]))
+    elif jt == JointType.BALL:
+      dof_invweight0 = dof_invweight0.at[dadr:dadr + 3].set(
+          jnp.mean(a_diag[dadr:dadr + 3]))
+
+  # body_invweight0[b] = [mean diag of Jp M^-1 Jp^T, same for Jr] with
+  # the body com Jacobian at xipos (reference _compute_body_jac_row /
+  # _finalize_body_invweight0; welded bodies inherit their weld root)
+  import numpy as np
+  mask = m.body_dof_ancestor_mask                         # (nbody, nv)
+  root_com = d0.subtree_com[np.asarray(m.body_rootid), :]
+  offset = d0.xipos - root_com                            # (nbody, 3)
+  jacr = d0.cdof[None, :, :3] * mask[:, :, None]          # (nbody, nv, 3)
+  jacp = (d0.cdof[None, :, 3:] - jnp.cross(
+      jnp.broadcast_to(offset[:, None, :], jacr.shape),
+      d0.cdof[None, :, :3])) * mask[:, :, None]
+  j6 = jnp.concatenate([jacp, jacr], axis=-1)             # (nbody, nv, 6)
+  jm = jnp.einsum('bnr,nk->bkr', j6, minv, **_hi)
+  a6 = jnp.einsum('bkr,bkr->br', jm, j6, **_hi)           # (nbody, 6)
+  binv = jnp.stack([jnp.mean(a6[:, :3], axis=1),
+                    jnp.mean(a6[:, 3:], axis=1)], axis=1)
+  binv = binv[np.asarray(m.body_weldid), :]
+  binv = binv.at[0].set(0.0)
+
+  updates = dict(dof_M0=dof_M0, dof_invweight0=dof_invweight0,
+                 body_invweight0=binv,
+                 stat=dataclasses.replace(m.stat, meaninertia=meaninertia))
+
+  if m.ntendon:
+    tinv = jnp.einsum('tn,nk,tk->t', d0.ten_J, minv, d0.ten_J, **_hi)
+    updates.update(tendon_invweight0=tinv, tendon_length0=d0.ten_length)
+
+  if m.ncam:
+    cb = np.asarray(m.cam_bodyid)
+    updates.update(cam_pos0=d0.cam_xpos - d0.xpos[cb],
+                   cam_poscom0=d0.cam_xpos - d0.subtree_com[cb],
+                   cam_mat0=d0.cam_xmat)
+  if m.nlight:
+    lb = np.asarray(m.light_bodyid)
+    updates.update(light_pos0=d0.light_xpos - d0.xpos[lb],
+                   light_poscom0=d0.light_xpos - d0.subtree_com[lb],
+                   light_dir0=d0.light_xdir)
+
+  if m.nu:
+    macc = jnp.einsum('un,nk->uk', d0.actuator_moment, minv, **_hi)
+    acc0 = jnp.sqrt(jnp.sum(macc * macc, axis=1))
+    updates['actuator_acc0'] = acc0
+    # dampratio resolution (reference _resolve_dampratio): position
+    # actuators with biasprm[2] = dampratio > 0 get biasprm[2] =
+    # -dampratio * 2 sqrt(kp * reflected inertia)
+    biasprm = m.actuator_biasprm
+    for u in range(m.nu):
+      if (m.actuator_biastype[u] == types.BiasType.AFFINE and
+          float(np.asarray(m.actuator_biasprm[u, 2])) > 0):
+        kp = m.actuator_gainprm[u, 0]
+        mom = d0.actuator_moment[u]
+        w = mom * mom
+        denom = jnp.maximum(jnp.sum(w), 1e-12)
+        refl = jnp.sum(w * dof_M0) / denom
+        damp = -m.actuator_biasprm[u, 2] * 2.0 * jnp.sqrt(
+            jnp.maximum(kp * refl, 0.0))
+        biasprm = biasprm.at[u, 2].set(damp)
+    updates['actuator_biasprm'] = biasprm
+
+  return dataclasses.replace(m, **updates)

@@ -33,9 +33,12 @@ def island(m: Model, d: Data) -> jax.Array:
     act = (g1 >= 0) & (d.contact.dist < d.contact.includemargin)
     t1 = tree_of_body[geom_bodyid[jnp.maximum(g1, 0)]]
     t2 = tree_of_body[geom_bodyid[jnp.maximum(g2, 0)]]
-    # world body belongs to no tree (treeid 0 in mjm is first tree;
-    # static geoms have body 0 whose treeid couples nothing real —
-    # follow the reference and keep them, they just merge with tree 0)
+    # world/static bodies carry treeid -1 (mjModel convention): they are
+    # not part of any tree, so a contact with them couples nothing —
+    # mask those out (the reference excludes static bodies likewise)
+    act = act & (t1 >= 0) & (t2 >= 0)
+    t1 = jnp.maximum(t1, 0)
+    t2 = jnp.maximum(t2, 0)
     adj = adj.at[t1, t2].max(act)
     adj = adj.at[t2, t1].max(act)
 
@@ -47,6 +50,8 @@ def island(m: Model, d: Data) -> jax.Array:
     if m.eq_type[i] in (EqType.CONNECT, EqType.WELD):
       t1s = int(m.body_treeid[b1])
       t2s = int(m.body_treeid[b2])
+      if t1s < 0 or t2s < 0:  # world/static body: couples nothing
+        continue
       adj = adj.at[t1s, t2s].max(d.eq_active[i])
       adj = adj.at[t2s, t1s].max(d.eq_active[i])
 

@@ -570,10 +570,13 @@ def tendon(m: Model, d: Data) -> Data:
       assert op[0] == 'site', f'unexpected wrap op {op}'
       sid = op[1]
       cur = (d.site_xpos[sid], m.site_bodyid[sid])
-      if prev is not None:
-        # wrap obstacle between the previous site and this one?
-        pass
       if i + 1 < len(ops) and ops[i + 1][0] == 'geom':
+        # a geom wraps the cur->next span; the prev->cur span (if any)
+        # is still a straight segment — emit it first (C mj_tendon
+        # emits every inter-site segment; dropping it was a bug)
+        if prev is not None:
+          row, length = seg(row, length, prev[0], prev[1], cur[0], cur[1],
+                            divisor)
         gid, gtype, side_sid = ops[i + 1][1:]
         nxt_op = ops[i + 2]
         assert nxt_op[0] == 'site', 'geom wrap must sit between sites'

@@ -118,12 +118,20 @@ def contact_force(m: Model, d: Data, i) -> jax.Array:
   (reference support.py:354 + pyramid decode 241; C mj_contactForce).
   Traced index i; returns (6,) = (normal, tangent1, tangent2, torsion...)
   ordered as MuJoCo (force[3], torque[3]) in contact frame."""
+  from .types import ConeType
   con = d.contact
   adr = con.efc_address[i]
   dim = con.dim[i]
   friction = con.friction[i]
-  nconmax = con.dist.shape[0]
   njmax = d.efc_force.shape[0]
+  out = jnp.zeros(6, d.qpos.dtype)
+  if m.opt.cone == ConeType.ELLIPTIC:
+    # elliptic rows are direct forces at stride dim: force[k] =
+    # efc_force[adr + k] for k < dim (C mj_contactForce elliptic branch)
+    rows = jnp.arange(6)
+    idx = jnp.clip(adr + rows, 0, njmax - 1)
+    vals = jnp.where((adr >= 0) & (rows < dim), d.efc_force[idx], 0.0)
+    return vals
   # pyramidal: rows adr .. adr + 2*(dim-1)-1 (or 1 row if dim == 1)
   maxrows = 10
   rows = jnp.arange(maxrows)
@@ -132,7 +140,6 @@ def contact_force(m: Model, d: Data, i) -> jax.Array:
                   0.0)
   frictionless = jnp.where((adr >= 0) & (dim == 1), d.efc_force[
       jnp.clip(adr, 0, njmax - 1)], 0.0)
-  out = jnp.zeros(6, d.qpos.dtype)
   normal = jnp.sum(pyr) + frictionless
   out = out.at[0].set(normal)
   # friction components: (pyr[2k] - pyr[2k+1]) * mu[k]
@@ -140,7 +147,6 @@ def contact_force(m: Model, d: Data, i) -> jax.Array:
     comp = jnp.where(dim > k + 1,
                      (pyr[2 * k] - pyr[2 * k + 1]) * friction[k], 0.0)
     out = out.at[1 + k].set(comp)
-  del nconmax
   return out
 
 
