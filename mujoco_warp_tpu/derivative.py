@@ -21,6 +21,12 @@ def deriv_smooth_vel(m: Model, d: Data) -> jax.Array:
   dtype = d.qpos.dtype
   qderiv = -jnp.diag(m.dof_damping)
 
+  if m.ntendon:
+    # tendon damping: d(-b_t * ten_J qvel)/dqvel = -b_t ten_J^T ten_J
+    # (reference derivative.py tendon block; C mjd_passive_vel)
+    qderiv = qderiv - jnp.einsum('tn,t,tk->nk', d.ten_J,
+                                 m.tendon_damping, d.ten_J, **_EINSUM)
+
   if m.nu and not m.opt.disableflags & DisableBit.ACTUATION:
     # d force_u / d vel_u from affine gain/bias velocity coefficients
     coeffs = []

@@ -49,6 +49,7 @@ def fwd_position(m: Model, d: Data, factorize: bool = True) -> Data:
   d = smooth.camlight(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
+  d = smooth.tendon_armature(m, d)
   if factorize:
     d = smooth.factor_m(m, d)
   if m.opt.run_collision_detection:
@@ -71,6 +72,7 @@ def fwd_velocity(m: Model, d: Data) -> Data:
   d = smooth.com_vel(m, d)
   d = passive_mod.passive(m, d)
   d = smooth.rne(m, d)
+  d = smooth.tendon_bias(m, d)
   return d
 
 
@@ -90,6 +92,41 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     ctrl = jnp.where(limited,
                      jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
                               m.actuator_ctrlrange[:, 1]), ctrl)
+
+  # fast path: stateless affine actuators (motors/position/velocity
+  # servos — the RL benchmark regime) in one fused vector expression
+  # instead of a per-actuator trace loop
+  import numpy as np
+  gts = np.asarray(m.actuator_gaintype)
+  bts = np.asarray(m.actuator_biastype)
+  simple = (m.na == 0 and
+            np.all((gts == GainType.FIXED) | (gts == GainType.AFFINE)) and
+            np.all((bts == BiasType.NONE) | (bts == BiasType.AFFINE)))
+  if simple:
+    gp, bp = m.actuator_gainprm, m.actuator_biasprm
+    length, velocity = d.actuator_length, d.actuator_velocity
+    gain = jnp.where(jnp.asarray(gts == GainType.AFFINE),
+                     gp[:, 0] + gp[:, 1] * length + gp[:, 2] * velocity,
+                     gp[:, 0])
+    bias = jnp.where(jnp.asarray(bts == BiasType.AFFINE),
+                     bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity,
+                     0.0)
+    force = gain * ctrl + bias
+    flimited = jnp.array(m.actuator_forcelimited, dtype=bool)
+    force = jnp.where(flimited,
+                      jnp.clip(force, m.actuator_forcerange[:, 0],
+                               m.actuator_forcerange[:, 1]), force)
+    qfrc_actuator = jnp.einsum('un,u->n', d.actuator_moment, force,
+                               **_EINSUM)
+    if any(m.jnt_actfrclimited):
+      dj = np.asarray(m.dof_jntid)
+      lo = jnp.asarray(m.jnt_actfrcrange[dj, 0])
+      hi = jnp.asarray(m.jnt_actfrcrange[dj, 1])
+      lim = jnp.asarray(np.asarray(m.jnt_actfrclimited)[dj].astype(bool))
+      qfrc_actuator = jnp.where(lim, jnp.clip(qfrc_actuator, lo, hi),
+                                qfrc_actuator)
+    return d.replace(act_dot=jnp.zeros(m.na, dtype), actuator_force=force,
+                     qfrc_actuator=qfrc_actuator, ctrl=d.ctrl)
 
   # activation dynamics act_dot
   act_dot = jnp.zeros(m.na, dtype)
@@ -181,6 +218,10 @@ def _fwd_acceleration_batched(m: Model, d: Data) -> Data:
   qfrc_smooth = jax.vmap(
       lambda dd: (dd.qfrc_passive - dd.qfrc_bias + dd.qfrc_applied +
                   dd.qfrc_actuator + support.xfrc_accumulate(m, dd)))(d)
+  if solver_mod.uses_fused_kernel(m, d):
+    # the fused Pallas Newton solver computes qacc_smooth and the qM
+    # factor in-kernel — don't pay a second factorization here
+    return d.replace(qfrc_smooth=qfrc_smooth)
   qacc_smooth, qld = solver_mod.spd_solve_factor(m, d.qM, qfrc_smooth)
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
                    qLD=qld)
@@ -379,14 +420,55 @@ def step(m: Model, d: Data, control_fn=None, passive_fn=None,
 # ---------------------------------------------------------------------------
 
 
+@named('fwd_smooth')
+def _smooth_mega_batched(m: Model, d: Data) -> Data:
+  """The smooth front AND velocity-stage tree math in ONE Pallas
+  worlds-in-lanes kernel: kinematics, frames, com_pos, crb, com_vel,
+  rne (pallas/smooth_kernels._smooth_mega_kernel). This replaces the
+  ~40 gather-bound XLA fusions the vmapped jnp stages cost."""
+  from .pallas import smooth_kernels
+  qpos = jax.vmap(lambda q: smooth._normalize_qpos(m, q))(d.qpos)
+  outs = smooth_kernels.smooth_mega_batched(
+      m, qpos, d.qvel,
+      d.mocap_pos if m.nmocap else None,
+      d.mocap_quat if m.nmocap else None)
+  return d.replace(qpos=qpos, **outs)
+
+
 def forward_batched(m: Model, d: Data) -> Data:
-  """forward() over a leading world axis; linear solves batch to one
-  Pallas kernel each instead of per-world unrolled scalar chains."""
+  """forward() over a leading world axis: the smooth pipeline runs as
+  one Pallas megakernel on TPU; collision/constraint/solver stay at XLA
+  level; linear solves batch to one Pallas kernel each."""
   vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
-  d = vm(fwd_position, factorize=False)(d)
-  d = vm(sensor_mod.sensor_pos)(d)
-  d = vm(fwd_velocity)(d)
-  d = vm(sensor_mod.sensor_vel)(d)
+  use_mega = jax.default_backend() == 'tpu' and m.nv > 0
+  if use_mega:
+    d = _smooth_mega_batched(m, d)
+    if m.ncam or m.nlight:
+      d = vm(smooth.camlight)(d)
+    if m.ntendon:
+      d = vm(smooth.tendon)(d)
+      d = vm(smooth.tendon_armature)(d)
+    if m.opt.run_collision_detection:
+      d = vm(collision_driver.collision)(d)
+    d = vm(constraint.make_constraint)(d)
+    d = vm(smooth.transmission)(d)
+    d = vm(sensor_mod.sensor_pos)(d)
+    # velocity stage: tree math (com_vel/rne) already done in the mega
+    # kernel; only actuator/tendon velocities + passive forces remain
+    if m.nu:
+      d = d.replace(actuator_velocity=jnp.einsum(
+          'wun,wn->wu', d.actuator_moment, d.qvel, **_EINSUM))
+    if m.ntendon:
+      d = d.replace(ten_velocity=jnp.einsum(
+          'wtn,wn->wt', d.ten_J, d.qvel, **_EINSUM))
+      d = vm(smooth.tendon_bias)(d)
+    d = vm(passive_mod.passive)(d)
+    d = vm(sensor_mod.sensor_vel)(d)
+  else:
+    d = vm(fwd_position, factorize=False)(d)
+    d = vm(sensor_mod.sensor_pos)(d)
+    d = vm(fwd_velocity)(d)
+    d = vm(sensor_mod.sensor_vel)(d)
   d = vm(fwd_actuation)(d)
   d = _fwd_acceleration_batched(m, d)
   d = solver_mod.solve(m, d)            # batch-polymorphic

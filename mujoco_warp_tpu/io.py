@@ -449,8 +449,15 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       condim_max=condim_max,
       pair_dim=_tup(mjm.pair_dim),
       has_damping=bool(np.any(mjm.dof_damping > 0)),
+      has_tendon_armature=bool(np.any(
+          getattr(mjm, 'tendon_armature', np.zeros(1)) > 0)),
       fluid_active=bool(mjm.opt.density > 0 or mjm.opt.viscosity > 0 or
                         np.any(mjm.opt.wind != 0)),
+      body_fluid_ellipsoid=tuple(
+          bool(np.any(mjm.geom_fluid[
+              mjm.body_geomadr[b]:mjm.body_geomadr[b] +
+              mjm.body_geomnum[b], 0] > 0))
+          for b in range(mjm.nbody)),
       opt=opt,
       stat=Statistic(meaninertia=_jp(mjm.stat.meaninertia)),
       qpos0=_jp(mjm.qpos0),
@@ -482,6 +489,7 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       geom_pos=_jp(mjm.geom_pos),
       geom_quat=_jp(mjm.geom_quat),
       geom_size=_jp(mjm.geom_size),
+      geom_fluid=_jp(mjm.geom_fluid),
       geom_friction=_jp(mjm.geom_friction),
       geom_solref=_jp(mjm.geom_solref),
       geom_solimp=_jp(mjm.geom_solimp),
@@ -528,6 +536,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       tendon_margin=_jp(mjm.tendon_margin),
       tendon_stiffness=_jp(mjm.tendon_stiffness),
       tendon_damping=_jp(mjm.tendon_damping),
+      tendon_armature=_jp(getattr(mjm, 'tendon_armature',
+                                  np.zeros(mjm.ntendon))),
       tendon_frictionloss=_jp(mjm.tendon_frictionloss),
       tendon_lengthspring=_jp(mjm.tendon_lengthspring),
       tendon_invweight0=_jp(mjm.tendon_invweight0),

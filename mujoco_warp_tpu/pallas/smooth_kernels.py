@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import JointType, Model
+from ..types import DisableBit, JointType, Model
 
 LANES = 128
 
@@ -85,8 +85,8 @@ def _kinematics_kernel(m: Model, qpos_ref, bp_ref, bq_ref, jp_ref, ja_ref,
     jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
     mid = m.body_mocapid[b]
     if mid >= 0 and jnum == 0:
-      xp = mp_ref[:, mid:mid + 1] * one
-      xq = _qnormalize(mq_ref[:, mid:mid + 1] * one)
+      xp = mp_ref[mid]
+      xq = _qnormalize(mq_ref[mid])
     for k in range(jnum):
       j = jadr + k
       jt = m.jnt_type[j]
@@ -379,6 +379,251 @@ def crb_batched(m: Model, cinert: jax.Array, cdof: jax.Array):
   return t(crb), t(qm)
 
 
+def _mocap_lanes(m: Model, mocap, wpad: int, dtype):
+  """Runtime mocap state in (nmocap, 3/4, wpad) lane layout; identity
+  defaults from the model when no runtime state is given."""
+  nm = max(m.nmocap, 1)
+  if m.nmocap and mocap is not None:
+    mocap_pos, mocap_quat = mocap
+    pad3 = lambda x: (jnp.pad(x, ((0, 0), (0, 0),
+                                  (0, wpad - x.shape[-1])))
+                      if wpad != x.shape[-1] else x)
+    return (pad3(jnp.moveaxis(mocap_pos, 0, -1)),
+            pad3(jnp.moveaxis(mocap_quat, 0, -1)))
+  if m.nmocap:
+    return (jnp.broadcast_to(m.mocap_pos0[..., None], (nm, 3, wpad)),
+            jnp.broadcast_to(m.mocap_quat0[..., None], (nm, 4, wpad)))
+  return (jnp.zeros((nm, 3, wpad), dtype),
+          jnp.zeros((nm, 4, wpad), dtype).at[:, 0].set(1.0))
+
+
+def _rows9(q):
+  """Quaternion (4, L) -> row-major 3x3 rotation matrix rows (9, L)."""
+  c0, c1, c2 = _quat2mat_cols(q)
+  return jnp.concatenate([
+      c0[0:1], c1[0:1], c2[0:1],
+      c0[1:2], c1[1:2], c2[1:2],
+      c0[2:3], c1[2:3], c2[2:3]], axis=0)
+
+
+def _frames_block(m: Model, xpos_ref, xquat_ref, ip_ref, iq_ref, gp_ref,
+                  gq_ref, sp_ref, sq_ref, xmat_ref, xipos_ref, ximat_ref,
+                  gxp_ref, gxm_ref, sxp_ref, sxm_ref):
+  """Derived frames: body xmat/inertial, geom and site frames — all
+  static unrolled elementwise quaternion math (reference
+  smooth.py:358 kinematics tail; C mj_kinematics geom/site loop)."""
+  L = xpos_ref.shape[-1]
+  one = jnp.ones((1, L), jnp.float32)
+  for b in range(m.nbody):
+    q = xquat_ref[b]
+    xmat_ref[b] = _rows9(q)
+    xipos_ref[b] = xpos_ref[b] + _qrot(ip_ref[:, b:b + 1] * one, q)
+    ximat_ref[b] = _rows9(_qmul(q, iq_ref[:, b:b + 1] * one))
+  for g in range(m.ngeom):
+    b = m.geom_bodyid[g]
+    q = xquat_ref[b]
+    gxp_ref[g] = xpos_ref[b] + _qrot(gp_ref[:, g:g + 1] * one, q)
+    gxm_ref[g] = _rows9(_qmul(q, gq_ref[:, g:g + 1] * one))
+  for s in range(m.nsite):
+    b = m.site_bodyid[s]
+    q = xquat_ref[b]
+    sxp_ref[s] = xpos_ref[b] + _qrot(sp_ref[:, s:s + 1] * one, q)
+    sxm_ref[s] = _rows9(_qmul(q, sq_ref[:, s:s + 1] * one))
+
+
+def _motion_cross_l(u, v):
+  """Spatial motion cross product on (6, L) blocks."""
+  ang = _cross(u[0:3], v[0:3])
+  lin = _cross(u[0:3], v[3:6]) + _cross(u[3:6], v[0:3])
+  return jnp.concatenate([ang, lin], axis=0)
+
+
+def _motion_cross_force_l(u, f):
+  ang = _cross(u[0:3], f[0:3]) + _cross(u[3:6], f[3:6])
+  lin = _cross(u[0:3], f[3:6])
+  return jnp.concatenate([ang, lin], axis=0)
+
+
+def _com_vel_rne_block(m: Model, qvel_ref, cdof_ref, cinert_ref, grav_ref,
+                       cvel_ref, cdofdot_ref, cacc_ref, qfrc_ref, cfrc_scr):
+  """com_vel + rne fused for one lane block (reference smooth.py:2015,
+  1259; C mj_comVel + mj_rne(qacc=0)). Forward velocity walk follows
+  C's exact per-joint accumulation order (free/ball dofs share v_pre)."""
+  L = qvel_ref.shape[-1]
+  dt = jnp.float32
+  zero6 = jnp.zeros((6, L), dt)
+  one = jnp.ones((1, L), dt)
+  cvel_ref[0] = zero6
+
+  for b in range(1, m.nbody):
+    p = m.body_parentid[b]
+    v = cvel_ref[p]
+    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
+    for k in range(jnum):
+      j = jadr + k
+      jt = m.jnt_type[j]
+      dadr = m.jnt_dofadr[j]
+      if jt == JointType.FREE:
+        for i in range(3):
+          cdofdot_ref[dadr + i] = zero6
+          v = v + cdof_ref[dadr + i] * qvel_ref[dadr + i:dadr + i + 1]
+        vpre = v
+        for i in range(3, 6):
+          cdofdot_ref[dadr + i] = _motion_cross_l(vpre, cdof_ref[dadr + i])
+        for i in range(3, 6):
+          v = v + cdof_ref[dadr + i] * qvel_ref[dadr + i:dadr + i + 1]
+      elif jt == JointType.BALL:
+        vpre = v
+        for i in range(3):
+          cdofdot_ref[dadr + i] = _motion_cross_l(vpre, cdof_ref[dadr + i])
+        for i in range(3):
+          v = v + cdof_ref[dadr + i] * qvel_ref[dadr + i:dadr + i + 1]
+      else:  # slide / hinge
+        cdofdot_ref[dadr] = _motion_cross_l(v, cdof_ref[dadr])
+        v = v + cdof_ref[dadr] * qvel_ref[dadr:dadr + 1]
+    cvel_ref[b] = v
+
+  # rne forward pass: cacc with qacc = 0, gravity at the base
+  if not (m.opt.disableflags & DisableBit.GRAVITY):
+    grav = jnp.concatenate([jnp.zeros((3, L), dt),
+                            -grav_ref[:, 0:1] * one], axis=0)
+  else:
+    grav = zero6
+  cacc_ref[0] = grav
+  for b in range(1, m.nbody):
+    p = m.body_parentid[b]
+    a = cacc_ref[p]
+    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
+    for k in range(jnum):
+      j = jadr + k
+      dadr = m.jnt_dofadr[j]
+      ndof = {JointType.FREE: 6, JointType.BALL: 3}.get(
+          int(m.jnt_type[j]), 1)
+      for i in range(ndof):
+        a = a + cdofdot_ref[dadr + i] * qvel_ref[dadr + i:dadr + i + 1]
+    cacc_ref[b] = a
+
+  # per-body net force, then backward subtree accumulation
+  for b in range(m.nbody):
+    ci = cinert_ref[b]
+    cv = cvel_ref[b]
+    cfrc_scr[b] = (_inert_mul(ci, cacc_ref[b]) +
+                   _motion_cross_force_l(cv, _inert_mul(ci, cv)))
+  for b in range(m.nbody - 1, 0, -1):
+    p = m.body_parentid[b]
+    cfrc_scr[p] = cfrc_scr[p] + cfrc_scr[b]
+  for i in range(m.nv):
+    qfrc_ref[i] = jnp.sum(cdof_ref[i] * cfrc_scr[m.dof_bodyid[i]], axis=0)
+
+
+def _smooth_mega_kernel(m: Model, qpos_ref, qvel_ref, bp_ref, bq_ref,
+                        jp_ref, ja_ref, q0_ref, mp_ref, mq_ref, ipos_ref,
+                        iquat_ref, mass_ref, inert_ref, stm_ref, arm_ref,
+                        gp_ref, gq_ref, sp_ref, sq_ref, grav_ref,
+                        xpos_ref, xquat_ref, xanchor_ref, xaxis_ref,
+                        com_ref, cinert_ref, cdof_ref, crb_ref, qm_ref,
+                        xmat_ref, xipos_ref, ximat_ref, gxp_ref, gxm_ref,
+                        sxp_ref, sxm_ref, cvel_ref, cdofdot_ref, cacc_ref,
+                        qfrc_ref, acc_scr, cfrc_scr):
+  """The whole smooth pipeline (minus tendons) in ONE kernel per lane
+  block: kinematics -> frames -> com_pos -> crb -> com_vel -> rne.
+  Replaces ~40 XLA fusions (each paying dispatch + HBM) with one."""
+  _kinematics_kernel(m, qpos_ref, bp_ref, bq_ref, jp_ref, ja_ref, q0_ref,
+                     mp_ref, mq_ref, xpos_ref, xquat_ref, xanchor_ref,
+                     xaxis_ref)
+  _frames_block(m, xpos_ref, xquat_ref, ipos_ref, iquat_ref, gp_ref,
+                gq_ref, sp_ref, sq_ref, xmat_ref, xipos_ref, ximat_ref,
+                gxp_ref, gxm_ref, sxp_ref, sxm_ref)
+  _com_pos_kernel(m, xpos_ref, xquat_ref, xanchor_ref, xaxis_ref,
+                  ipos_ref, iquat_ref, mass_ref, inert_ref, stm_ref,
+                  com_ref, cinert_ref, cdof_ref, acc_scr)
+  _crb_kernel(m, cinert_ref, cdof_ref, arm_ref, crb_ref, qm_ref)
+  _com_vel_rne_block(m, qvel_ref, cdof_ref, cinert_ref, grav_ref,
+                     cvel_ref, cdofdot_ref, cacc_ref, qfrc_ref, cfrc_scr)
+
+
+def smooth_mega_batched(m: Model, qpos: jax.Array, qvel: jax.Array,
+                        mocap_pos=None, mocap_quat=None):
+  """qpos (W, nq), qvel (W, nv) -> dict of every smooth-stage product:
+  position stage (xpos..qM, all frames) AND velocity stage (cvel,
+  cdof_dot, cacc, qfrc_bias). One pallas_call, worlds in lanes."""
+  W, nq = qpos.shape
+  wpad = -(-W // LANES) * LANES
+  dt = qpos.dtype
+  pad2 = lambda x: (jnp.pad(x, ((0, 0), (0, wpad - W)))
+                    if wpad != W else x)
+  pad3 = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, wpad - W)))
+                    if wpad != W else x)
+  bl = lambda x: jnp.moveaxis(x, 0, -1)
+  qt = pad2(qpos.T)
+  vt = pad2(qvel.T)
+  nb, nj, nv = m.nbody, max(m.njnt, 1), max(m.nv, 1)
+  ng, ns, nm = max(m.ngeom, 1), max(m.nsite, 1), max(m.nmocap, 1)
+  mocap = ((mocap_pos, mocap_quat)
+           if (m.nmocap and mocap_pos is not None) else None)
+  mp, mq = _mocap_lanes(m, mocap, wpad, dt)
+  del bl, pad3
+
+  kernel = functools.partial(_smooth_mega_kernel, m)
+  vm = pltpu.VMEM
+  const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=vm)
+  lane2 = lambda a: pl.BlockSpec((a, LANES), lambda i: (0, i),
+                                 memory_space=vm)
+  lane3 = lambda a, b: pl.BlockSpec((a, b, LANES), lambda i: (0, 0, i),
+                                    memory_space=vm)
+  z31 = jnp.zeros((3, 1), dt)
+  z41 = jnp.zeros((4, 1), dt)
+  out_dims = [(nb, 3), (nb, 4), (nj, 3), (nj, 3), (nb, 3), (nb, 10),
+              (nv, 6), (nb, 10), (nv, nv), (nb, 9), (nb, 3), (nb, 9),
+              (ng, 3), (ng, 9), (ns, 3), (ns, 9), (nb, 6), (nv, 6),
+              (nb, 6)]
+  outs = pl.pallas_call(
+      kernel,
+      grid=(wpad // LANES,),
+      in_specs=[
+          lane2(nq), lane2(nv), const((3, nb)), const((4, nb)),
+          const((3, nj)), const((3, nj)), const((nq, 1)),
+          lane3(nm, 3), lane3(nm, 4),
+          const((3, nb)), const((4, nb)), const((1, nb)), const((3, nb)),
+          const((1, nb)), const((1, nv)),
+          const((3, ng)), const((4, ng)), const((3, ns)), const((4, ns)),
+          const((3, 1)),
+      ],
+      out_specs=[lane3(a, b) for a, b in out_dims] + [lane2(nv)],
+      out_shape=[jax.ShapeDtypeStruct(s + (wpad,), dt) for s in out_dims]
+      + [jax.ShapeDtypeStruct((nv, wpad), dt)],
+      scratch_shapes=[pltpu.VMEM((nb, 3, LANES), jnp.float32),
+                      pltpu.VMEM((nb, 6, LANES), jnp.float32)],
+  )(qt, vt, m.body_pos.T, m.body_quat.T,
+    (m.jnt_pos.T if m.njnt else z31),
+    (m.jnt_axis.T if m.njnt else z31),
+    m.qpos0[:, None], mp, mq,
+    m.body_ipos.T, m.body_iquat.T, m.body_mass[None], m.body_inertia.T,
+    m.body_subtreemass[None], m.dof_armature[None],
+    (m.geom_pos.T if m.ngeom else z31),
+    (m.geom_quat.T if m.ngeom else z41),
+    (m.site_pos.T if m.nsite else z31),
+    (m.site_quat.T if m.nsite else z41),
+    m.opt.gravity[:, None])
+  t = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
+  names = ('xpos', 'xquat', 'xanchor', 'xaxis', 'subtree_com', 'cinert',
+           'cdof', 'crb', 'qM', 'xmat', 'xipos', 'ximat', 'geom_xpos',
+           'geom_xmat', 'site_xpos', 'site_xmat', 'cvel', 'cdof_dot',
+           'cacc', 'qfrc_bias')
+  out = {k: t(v) for k, v in zip(names, outs)}
+  # row-major 9-vectors -> (3, 3) matrices; drop padded geom/site slots
+  for k in ('xmat', 'ximat', 'geom_xmat', 'site_xmat'):
+    out[k] = out[k].reshape(out[k].shape[:-1] + (3, 3))
+  out['geom_xpos'] = out['geom_xpos'][:, :m.ngeom]
+  out['geom_xmat'] = out['geom_xmat'][:, :m.ngeom]
+  out['site_xpos'] = out['site_xpos'][:, :m.nsite]
+  out['site_xmat'] = out['site_xmat'][:, :m.nsite]
+  out['xanchor'] = out['xanchor'][:, :m.njnt]
+  out['xaxis'] = out['xaxis'][:, :m.njnt]
+  return out
+
+
 def _smooth_front_kernel(m: Model, qpos_ref, bp_ref, bq_ref, jp_ref,
                          ja_ref, q0_ref, mp_ref, mq_ref, ipos_ref,
                          iquat_ref, mass_ref, inert_ref, stm_ref, arm_ref,
@@ -422,7 +667,7 @@ def smooth_front_batched(m: Model, qpos: jax.Array):
       grid=(wpad // LANES,),
       in_specs=[
           lane2(nq), const((3, nb)), const((4, nb)), const((3, nj)),
-          const((3, nj)), const((nq, 1)), const((3, nm)), const((4, nm)),
+          const((3, nj)), const((nq, 1)), lane3(nm, 3), lane3(nm, 4),
           const((3, nb)), const((4, nb)), const((1, nb)), const((3, nb)),
           const((1, nb)), const((1, nv)),
       ],
@@ -441,8 +686,7 @@ def smooth_front_batched(m: Model, qpos: jax.Array):
     (m.jnt_pos.T if m.njnt else jnp.zeros((3, 1), qpos.dtype)),
     (m.jnt_axis.T if m.njnt else jnp.zeros((3, 1), qpos.dtype)),
     m.qpos0[:, None],
-    (m.mocap_pos0.T if m.nmocap else jnp.zeros((3, 1), qpos.dtype)),
-    (m.mocap_quat0.T if m.nmocap else jnp.zeros((4, 1), qpos.dtype)),
+    *_mocap_lanes(m, None, wpad, qpos.dtype),
     m.body_ipos.T, m.body_iquat.T, m.body_mass[None], m.body_inertia.T,
     m.body_subtreemass[None], m.dof_armature[None])
   t = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
@@ -477,9 +721,9 @@ def kinematics_batched(m: Model, qpos: jax.Array):
           pl.BlockSpec((3, nj), lambda i: (0, 0), memory_space=vm),
           pl.BlockSpec((3, nj), lambda i: (0, 0), memory_space=vm),
           pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=vm),
-          pl.BlockSpec((3, max(m.nmocap, 1)), lambda i: (0, 0),
+          pl.BlockSpec((max(m.nmocap, 1), 3, LANES), lambda i: (0, 0, i),
                        memory_space=vm),
-          pl.BlockSpec((4, max(m.nmocap, 1)), lambda i: (0, 0),
+          pl.BlockSpec((max(m.nmocap, 1), 4, LANES), lambda i: (0, 0, i),
                        memory_space=vm),
       ],
       out_specs=[
@@ -502,8 +746,8 @@ def kinematics_batched(m: Model, qpos: jax.Array):
     (m.jnt_pos.T if m.njnt else jnp.zeros((3, 1), qpos.dtype)),
     (m.jnt_axis.T if m.njnt else jnp.zeros((3, 1), qpos.dtype)),
     m.qpos0[:, None],
-    (m.mocap_pos0.T if m.nmocap else jnp.zeros((3, 1), qpos.dtype)),
-    (m.mocap_quat0.T if m.nmocap else jnp.zeros((4, 1), qpos.dtype)))
+    _mocap_lanes(m, None, wpad, qpos.dtype)[0],
+    _mocap_lanes(m, None, wpad, qpos.dtype)[1])
   xpos, xquat, xanchor, xaxis = outs
   t = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
   return t(xpos), t(xquat), t(xanchor), t(xaxis)

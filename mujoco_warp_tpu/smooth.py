@@ -326,6 +326,68 @@ def crb(m: Model, d: Data) -> Data:
   return d.replace(crb=crb_, qM=qm)
 
 
+def tendon_armature(m: Model, d: Data) -> Data:
+  """qM += armature_t * ten_J^T ten_J restricted to the qM sparsity
+  pattern — only (i, j) pairs on a common ancestor chain, matching the
+  reference's sparse-structure walk (smooth.py:916-1003;
+  C mj_tendonArmature)."""
+  if m.ntendon == 0 or not m.has_tendon_armature:
+    return d
+  jj = jnp.einsum('t,tn,tk->nk', m.tendon_armature, d.ten_J, d.ten_J,
+                  **_EINSUM)
+  sym = jnp.clip(m.dof_ancestor_mask + m.dof_ancestor_mask.T, 0.0, 1.0)
+  return d.replace(qM=d.qM + jj * sym)
+
+
+def _qpos_dot(m: Model, qpos: jax.Array, qvel: jax.Array) -> jax.Array:
+  """Tangent dqpos/dt from qvel (quaternion-aware: qdot = q/2 * (0, w)
+  with w the joint-local angular velocity, as in mj_integratePos)."""
+  import numpy as np
+  qd = jnp.zeros_like(qpos)
+  for j in range(m.njnt):
+    jtype = m.jnt_type[j]
+    qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    if jtype == JointType.FREE:
+      qd = qd.at[qadr:qadr + 3].set(qvel[dadr:dadr + 3])
+      q = qpos[qadr + 3:qadr + 7]
+      w = qvel[dadr + 3:dadr + 6]
+      qd = qd.at[qadr + 3:qadr + 7].set(
+          0.5 * math.mul_quat(q, jnp.concatenate([jnp.zeros(1, q.dtype),
+                                                  w])))
+    elif jtype == JointType.BALL:
+      q = qpos[qadr:qadr + 4]
+      w = qvel[dadr:dadr + 3]
+      qd = qd.at[qadr:qadr + 4].set(
+          0.5 * math.mul_quat(q, jnp.concatenate([jnp.zeros(1, q.dtype),
+                                                  w])))
+    else:
+      qd = qd.at[qadr].set(qvel[dadr])
+  return qd
+
+
+def tendon_bias(m: Model, d: Data) -> Data:
+  """qfrc_bias += armature_t * ten_J^T (dten_J/dt . qvel) — the bias
+  force of the tendon-armature inertia (reference smooth.py:1609-1878;
+  C mj_tendonDot + tendon bias). Computed exactly via a jvp of the
+  tendon Jacobian along the quaternion-aware qpos tangent (covers wrap
+  geometry too, which the reference leaves TODO)."""
+  if m.ntendon == 0 or not m.has_tendon_armature:
+    return d
+
+  def jqvel(qpos):
+    dd = d.replace(qpos=qpos)
+    dd = kinematics(m, dd)
+    dd = com_pos(m, dd)
+    dd = tendon(m, dd)
+    return jnp.einsum('tn,n->t', dd.ten_J, d.qvel, **_EINSUM)
+
+  qd = _qpos_dot(m, d.qpos, d.qvel)
+  _, coef = jax.jvp(jqvel, (d.qpos,), (qd,))     # (ntendon,) Jdot.qvel
+  qfrc = jnp.einsum('t,tn,t->n', m.tendon_armature, d.ten_J, coef,
+                    **_EINSUM)
+  return d.replace(qfrc_bias=d.qfrc_bias + qfrc)
+
+
 def factor_m(m: Model, d: Data) -> Data:
   """Dense Cholesky of qM (reference uses tiled wp.tile_cholesky /
   level-scheduled sparse LDL, smooth.py:1017-1104)."""

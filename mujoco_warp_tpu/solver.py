@@ -489,6 +489,24 @@ def _iteration(m: Model, d: Data, ctx: _Ctx) -> _Ctx:
   return new_ctx
 
 
+def uses_fused_kernel(m: Model, d: Data) -> bool:
+  """True when the batched solve dispatches to the single-kernel Pallas
+  Newton solver (pallas/solver_kernels). The kernel also computes
+  qacc_smooth and the qM factor, so fwd_acceleration skips its solve.
+
+  Gated on MJWT_FUSED_SOLVER (default off until TPU-validated on this
+  model class; interpret-mode parity is already covered by tests)."""
+  import os
+  if os.environ.get('MJWT_FUSED_SOLVER', '0') == '0':
+    return False
+  njmax = d.efc_J.shape[-2]
+  return (jax.default_backend() == 'tpu' and d.qpos.ndim == 2 and
+          m.opt.solver == SolverType.NEWTON and
+          m.opt.cone == ConeType.PYRAMIDAL and m.opt.ls_parallel and
+          0 < m.nv <= 32 and njmax > 0 and m.opt.iterations > 0 and
+          not (m.opt.disableflags & DisableBit.CONSTRAINT))
+
+
 def solve(m: Model, d: Data) -> Data:
   """Entry point (reference solver.py:3296). Works single-world
   ((nj, nv) arrays) or batch-native ((W, nj, nv) arrays)."""
@@ -500,6 +518,22 @@ def solve(m: Model, d: Data) -> Data:
     return d.replace(qacc=d.qacc_smooth,
                      qfrc_constraint=jnp.zeros_like(d.qacc_smooth),
                      solver_niter=jnp.zeros(batch_shape, jnp.int32))
+
+  if uses_fused_kernel(m, d):
+    from . import io as io_mod
+    from .pallas import solver_kernels
+    nconmax = d.contact.dist.shape[-1]
+    ne, nf, nl, stride, _ = io_mod.efc_layout(m, nconmax)
+    use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
+    qacc, qfc, force, niter, qacc_smooth, qld = (
+        solver_kernels.newton_solve_batched(
+            d.qM, d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
+            d.qfrc_smooth, d.qacc_warmstart, m.opt.tolerance,
+            m.stat.meaninertia, ne=ne, nf=nf,
+            iterations=m.opt.iterations, use_ws=use_ws))
+    return d.replace(qacc=qacc, qfrc_constraint=qfc, efc_force=force,
+                     solver_niter=niter, qacc_smooth=qacc_smooth,
+                     qLD=qld)
 
   if m.opt.disableflags & DisableBit.WARMSTART:
     qacc = d.qacc_smooth

@@ -348,6 +348,8 @@ _MODEL_META = (
     'pair_dim',          # static condim per explicit <pair>
     'has_damping',       # any dof_damping > 0 in the compiled model
     'fluid_active',      # density or viscosity or wind nonzero
+    'has_tendon_armature',
+    'body_fluid_ellipsoid',  # per-body: use ellipsoid fluid model
 )
 
 
@@ -458,6 +460,8 @@ class Model:
   pair_dim: IntTuple
   has_damping: bool
   fluid_active: bool
+  has_tendon_armature: bool
+  body_fluid_ellipsoid: Tuple[bool, ...]
   # numeric parameters (traced) ---------------------------------------------
   opt: Option
   stat: Statistic
@@ -490,6 +494,7 @@ class Model:
   geom_pos: jax.Array
   geom_quat: jax.Array
   geom_size: jax.Array
+  geom_fluid: jax.Array
   geom_friction: jax.Array
   geom_solref: jax.Array
   geom_solimp: jax.Array
@@ -536,6 +541,7 @@ class Model:
   tendon_margin: jax.Array
   tendon_stiffness: jax.Array
   tendon_damping: jax.Array
+  tendon_armature: jax.Array
   tendon_frictionloss: jax.Array
   tendon_lengthspring: jax.Array
   tendon_invweight0: jax.Array

@@ -115,3 +115,53 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
       solver_niter_mean=float(jnp.mean(d.solver_niter)),
       final=d,
   )
+
+
+def benchmark_replay(m: Model, batch: Data, traj: jax.Array,
+                     nstep: int) -> dict:
+  """Replay a keyframe ctrl trajectory (reference testspeed --replay:
+  ctrl comes from recorded keyframes, clamped to the last frame, instead
+  of noise)."""
+  nworld = batch.qpos.shape[0]
+  nkey = traj.shape[0]
+
+  from ..forward import step_batched
+
+  def one_step(d, step_i):
+    idx = jnp.minimum(step_i, nkey - 1)
+    ctrl = jnp.broadcast_to(traj[idx], (nworld, traj.shape[1]))
+    d = d.replace(ctrl=ctrl)
+    d = step_batched(m, d)
+    return d, step_i + 1
+
+  run_step = jax.jit(one_step, donate_argnums=(0,))
+  t0 = time.perf_counter()
+  d, step_i = run_step(batch, jnp.zeros((), jnp.int32))
+  jax.block_until_ready(d.qpos)
+  jit_time = time.perf_counter() - t0
+
+  warmup = min(20, nstep)
+  for _ in range(warmup):
+    d, step_i = run_step(d, step_i)
+  jax.block_until_ready(d.qpos)
+  t0 = time.perf_counter()
+  steps_done = max(nstep - warmup - 1, 1)
+  for _ in range(steps_done):
+    d, step_i = run_step(d, step_i)
+  jax.block_until_ready(d.qpos)
+  run_time = time.perf_counter() - t0
+
+  nan_worlds = int(jnp.sum(jnp.any(jnp.isnan(d.qpos), axis=-1)))
+  return dict(
+      nworld=nworld,
+      nstep=steps_done,
+      jit_time=jit_time,
+      run_time=run_time,
+      steps_per_sec=steps_done * nworld / max(run_time, 1e-9),
+      step_time_us=1e6 * run_time / max(steps_done, 1),
+      converged_worlds=nworld - nan_worlds,
+      ncon_mean=float(jnp.mean(d.ncon)),
+      nefc_mean=float(jnp.mean(d.nefc)),
+      solver_niter_mean=float(jnp.mean(d.solver_niter)),
+      final=d,
+  )

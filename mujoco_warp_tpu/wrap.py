@@ -82,6 +82,90 @@ def wrap_circle_2d(a: jax.Array, b: jax.Array, r, side_sign):
   return wlen, w0, w1
 
 
+def wrap_inside_2d(a: jax.Array, b: jax.Array, r, maxiter: int = 20,
+                   zinit: float = 1.0 - 1.0e-7, tol: float = 1.0e-6):
+  """Inside wrap: the tendon hugs a single point on the circle when the
+  side site lies inside the geom (reference util_misc.py:202
+  wrap_inside; C mju_wrapInside). Newton-solves
+  asin(A z) + asin(B z) - 2 asin(z) + G = 0, branch-free with masks.
+
+  Returns (wlen, pnt): wlen 0.0 on wrap (arc length is zero — single
+  touch point), -1.0 for no wrap; pnt the touch point (used for both
+  surface points)."""
+  dtype = a.dtype
+  len0 = math.norm(a)
+  len1 = math.norm(b)
+  dif = b - a
+  dd = jnp.dot(dif, dif)
+
+  invalid = (len0 <= r) | (len1 <= r) | (r < _EPS) | (len0 < _EPS) | (
+      len1 < _EPS)
+  # segment-circle intersection: no wrap
+  t = -jnp.dot(dif, a) / jnp.maximum(dd, _EPS)
+  closest = a + t * dif
+  invalid = invalid | ((dd > _EPS) & (t > 0.0) & (t < 1.0) &
+                       (math.norm(closest) <= r))
+
+  pnt_default = math.normalize(0.5 * (a + b)) * r
+
+  A = r / jnp.maximum(len0, _EPS)
+  B = r / jnp.maximum(len1, _EPS)
+  cosG = (len0 * len0 + len1 * len1 - dd) / jnp.maximum(
+      2.0 * len0 * len1, _EPS)
+  invalid = invalid | (cosG < -1.0 + 1e-12)
+  # endpoints colinear with center on same side: wrap at default point
+  use_default = cosG > 1.0 - 1e-12
+  G = jnp.arccos(jnp.clip(cosG, -1.0, 1.0))
+
+  def f(z):
+    return (jnp.arcsin(jnp.clip(A * z, -1.0, 1.0)) +
+            jnp.arcsin(jnp.clip(B * z, -1.0, 1.0)) -
+            2.0 * jnp.arcsin(jnp.clip(z, -1.0, 1.0)) + G)
+
+  z = jnp.full((), zinit, dtype)
+  fz = f(z)
+  use_default = use_default | (fz > 0.0)
+
+  def body(_, carry):
+    z, fz, frozen = carry
+    sq_z = z * z
+    df = (A / jnp.maximum(_EPS, jnp.sqrt(jnp.maximum(
+        1.0 - sq_z * A * A, 0.0))) +
+          B / jnp.maximum(_EPS, jnp.sqrt(jnp.maximum(
+              1.0 - sq_z * B * B, 0.0))) -
+          2.0 / jnp.maximum(_EPS, jnp.sqrt(jnp.maximum(1.0 - sq_z,
+                                                       0.0))))
+    bad = df > -_EPS
+    z1 = z - fz / jnp.where(bad, -1.0, df)
+    bad = bad | (z1 > z)
+    fz1 = f(z1)
+    bad = bad | (fz1 > tol)
+    done = jnp.abs(fz) <= tol
+    step_ok = ~frozen & ~done & ~bad
+    z_new = jnp.where(step_ok, z1, z)
+    fz_new = jnp.where(step_ok, fz1, fz)
+    return z_new, fz_new, frozen | bad
+  z, fz, frozen = jax.lax.fori_loop(0, maxiter, body,
+                                    (z, fz, jnp.zeros((), bool)))
+  # non-converged or any SHOULD-NOT-OCCUR branch: default point
+  use_default = use_default | frozen | (jnp.abs(fz) > tol)
+
+  # finalize: rotate from the endpoint on the wrap side
+  zc = jnp.clip(z, -1.0, 1.0)
+  cross_ab = a[0] * b[1] - a[1] * b[0]
+  use_a = cross_ab > 0.0
+  vec = math.normalize(jnp.where(use_a, a, b))
+  ang = jnp.where(use_a,
+                  jnp.arcsin(zc) - jnp.arcsin(jnp.clip(A * zc, -1, 1)),
+                  jnp.arcsin(zc) - jnp.arcsin(jnp.clip(B * zc, -1, 1)))
+  c, s = jnp.cos(ang), jnp.sin(ang)
+  pnt = r * jnp.stack([c * vec[0] - s * vec[1], s * vec[0] + c * vec[1]])
+  pnt = jnp.where(use_default, pnt_default, pnt)
+  wlen = jnp.where(invalid, jnp.full((), -1.0, dtype),
+                   jnp.zeros((), dtype))
+  return wlen, pnt
+
+
 def wrap_sphere(x0: jax.Array, x1: jax.Array, pos: jax.Array,
                 mat: jax.Array, radius, side: jax.Array | None):
   """Wrap segment x0->x1 (world) around a sphere at pos. Returns
@@ -110,6 +194,14 @@ def wrap_sphere(x0: jax.Array, x1: jax.Array, pos: jax.Array,
     # map to arc orientation sign used by wrap_circle_2d
     side_sign = jnp.where(cross_ab >= 0, 1, -1)
   wlen, w0, w1 = wrap_circle_2d(a2, b2, radius, side_sign)
+  if side is not None:
+    # side site INSIDE the geom -> inside wrap (C mju_wrap; reference
+    # util_misc.py:421 `norm(sidepnt) < radius` gate)
+    inside = math.norm(side - pos) < radius
+    wl_i, p_i = wrap_inside_2d(a2, b2, radius)
+    wlen = jnp.where(inside, wl_i, wlen)
+    w0 = jnp.where(inside, p_i, w0)
+    w1 = jnp.where(inside, p_i, w1)
   w0_3 = pos + w0[0] * e1 + w0[1] * e2
   w1_3 = pos + w1[0] * e1 + w1[1] * e2
   return wlen, w0_3, w1_3
@@ -138,6 +230,12 @@ def wrap_cylinder(x0: jax.Array, x1: jax.Array, pos: jax.Array,
         b2[1] - a2[1]) * (s2[0] - a2[0])
     side_sign = jnp.where(cross_ab >= 0, 1, -1)
   wlen, w0, w1 = wrap_circle_2d(a2, b2, radius, side_sign)
+  if side is not None:
+    inside = math.norm(side - pos) < radius
+    wl_i, p_i = wrap_inside_2d(a2, b2, radius)
+    wlen = jnp.where(inside, wl_i, wlen)
+    w0 = jnp.where(inside, p_i, w0)
+    w1 = jnp.where(inside, p_i, w1)
   # distribute axial travel proportionally to 2D path length
   l0 = math.norm(w0 - a2)
   l1 = math.norm(w1 - b2)

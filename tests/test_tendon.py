@@ -175,3 +175,123 @@ def test_tendon_limit_rows():
   d = mjwt.forward(m, d)
   assert int(d.nl) >= 1
   assert_close(d.qacc, mjd.qacc, 'limit qacc', tol=1e-3)
+
+
+TENDON_ARMATURE = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="aj1" type="hinge" axis="0 1 0" damping="0.02"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="0.4"/>
+      <site name="as1" pos="0.3 0 0"/>
+      <body pos="0.3 0 0">
+        <joint name="aj2" type="hinge" axis="1 0 0" damping="0.01"/>
+        <geom type="capsule" size="0.02" fromto="0 0 0 0 0.25 0"
+              mass="0.3"/>
+        <site name="as2" pos="0 0.25 0"/>
+      </body>
+    </body>
+    <site name="as0" pos="0 0 1.4"/>
+  </worldbody>
+  <tendon>
+    <spatial name="at1" armature="0.05" damping="0.2">
+      <site site="as0"/><site site="as1"/><site site="as2"/>
+    </spatial>
+    <fixed name="at2" armature="0.02">
+      <joint joint="aj1" coef="0.7"/><joint joint="aj2" coef="-0.4"/>
+    </fixed>
+  </tendon>
+</mujoco>
+"""
+
+
+def test_tendon_armature_mass_matrix():
+  """qM with tendon armature vs C mj_tendonArmature (reference
+  smooth.py:984)."""
+  mjm, mjd, m, d = fixture(TENDON_ARMATURE, qpos_noise=0.3,
+                           qvel_noise=0.5)
+  d = mjwt.fwd_position(m, d)
+  qm_ref = np.zeros((mjm.nv, mjm.nv))
+  mujoco.mj_fullM(mjm, mjd, qm_ref)
+  assert_close(d.qM, qm_ref, 'qM with tendon armature', tol=1e-5)
+
+
+def test_tendon_armature_bias_and_dynamics():
+  """qfrc_bias includes the tendon-armature bias (Jdot coupling) and
+  qacc matches C end-to-end."""
+  mjm, mjd, m, d = fixture(TENDON_ARMATURE, qpos_noise=0.2,
+                           qvel_noise=0.8, nstep=3)
+  d = mjwt.fwd_position(m, d)
+  d = mjwt.fwd_velocity(m, d)
+  assert_close(d.qfrc_bias, mjd.qfrc_bias, 'qfrc_bias w/ ten armature',
+               tol=1e-4)
+  d = mjwt.forward(m, d)
+  assert_close(d.qacc, mjd.qacc, 'qacc w/ tendon armature', tol=5e-4)
+
+
+def test_tendon_damping_implicitfast():
+  """implicitfast qDeriv includes tendon damping (reference
+  derivative.py tendon block)."""
+  xml = TENDON_ARMATURE.replace(
+      '<option timestep="0.002"/>',
+      '<option timestep="0.002" integrator="implicitfast"/>')
+  mjm, mjd, m, d = fixture(xml, qpos_noise=0.2, qvel_noise=0.8, nstep=3)
+  d = mjwt.step(m, d)
+  mujoco.mj_step(mjm, mjd)
+  assert_close(d.qvel, mjd.qvel, 'implicitfast qvel w/ tendon damping',
+               tol=1e-4)
+  assert_close(d.qpos, mjd.qpos, 'implicitfast qpos', tol=1e-5)
+
+
+WRAP_INSIDE = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="wj1" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="0.4"/>
+      <site name="ws1" pos="0.3 0 0.1"/>
+    </body>
+    <body pos="0.35 0 0.75">
+      <geom name="wgeom" type="sphere" size="0.06" contype="0"
+            conaffinity="0"/>
+      <site name="wside" pos="0.01 0 0.02"/>
+    </body>
+    <body pos="0.4 0 0.5">
+      <joint name="wj2" type="slide" axis="0 0 1" damping="0.05"/>
+      <geom type="sphere" size="0.03" mass="0.2"/>
+      <site name="ws2" pos="0 0 0.05"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="wt" stiffness="10" springlength="0.2">
+      <site site="ws1"/>
+      <geom geom="wgeom" sidesite="wside"/>
+      <site site="ws2"/>
+    </spatial>
+  </tendon>
+</mujoco>
+"""
+
+
+def test_wrap_inside():
+  """Side site inside the wrap geom triggers the inside-wrap solver
+  (reference util_misc.py:202 wrap_inside; C mju_wrapInside)."""
+  mjm, mjd, m, d = fixture(WRAP_INSIDE, qpos_noise=0.1, qvel_noise=0.2)
+  # sanity: the sidesite is inside the sphere in this configuration
+  sid = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_SITE, 'wside')
+  gid = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_GEOM, 'wgeom')
+  assert np.linalg.norm(
+      mjd.site_xpos[sid] - mjd.geom_xpos[gid]) < mjm.geom_size[gid, 0]
+  d = mjwt.fwd_position(m, d)
+  assert_close(d.ten_length, mjd.ten_length, 'ten_length inside wrap',
+               tol=1e-5)
+  assert_close(d.ten_J, mjd.ten_J, 'ten_J inside wrap', tol=1e-4)
+
+
+def test_wrap_inside_dynamics():
+  mjm, mjd, m, d = fixture(WRAP_INSIDE, qpos_noise=0.15, qvel_noise=0.4,
+                           nstep=5)
+  d = mjwt.forward(m, d)
+  assert_close(d.qacc, mjd.qacc, 'qacc inside wrap', tol=5e-4)
