@@ -136,9 +136,10 @@ def collision(m: Model, d: Data) -> Data:
           return jnp.zeros((len(gs), 1, 4), m.mesh_hullvert.dtype)
         return m.mesh_hullvert[geom_dataid[gs]]
       args += [hull(g1s, t1), hull(g2s, t2)]
-    if is_mpr:
+    if is_mpr or (t1, t2) in collision_primitive.NEEDS_MARGIN:
       # per-pair margin: MPR runs on margin-inflated geoms so contacts
-      # appear inside the margin band, not only at penetration
+      # appear inside the margin band, not only at penetration;
+      # box-box accepts manifold candidates up to the margin depth
       marg = jnp.maximum(m.geom_margin[g1s], m.geom_margin[g2s])
       pids_np = np.array(pids)
       if (pids_np >= 0).any():

@@ -34,8 +34,12 @@ MAX_CONTACTS: dict[tuple[int, int], int] = {
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
     (GeomType.CAPSULE, GeomType.BOX): 2,
+    (GeomType.BOX, GeomType.BOX): 8,
     (GeomType.PLANE, GeomType.MESH): 4,
 }
+
+# colliders whose candidate acceptance needs the margin value
+NEEDS_MARGIN: set[tuple[int, int]] = {(GeomType.BOX, GeomType.BOX)}
 
 
 def _sphere_like(p1, n_raw, r1, r2, ref):
@@ -278,6 +282,13 @@ def plane_mesh(p1, m1, s1, p2, m2, s2, v1, v2):
   return dist, pos, frame
 
 
+def _box_box_entry(p1, m1, s1, p2, m2, s2, margin=0.0):
+  """SAT multi-contact manifold (collision_box.box_box; C mjc_BoxBox;
+  reference collision_primitive_core.py:648)."""
+  from . import collision_box
+  return collision_box.box_box(p1, m1, s1, p2, m2, s2, margin)
+
+
 COLLIDERS = {
     (GeomType.PLANE, GeomType.SPHERE): plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): plane_capsule,
@@ -290,5 +301,6 @@ COLLIDERS = {
     (GeomType.SPHERE, GeomType.BOX): sphere_box,
     (GeomType.CAPSULE, GeomType.CAPSULE): capsule_capsule,
     (GeomType.CAPSULE, GeomType.BOX): capsule_box,
+    (GeomType.BOX, GeomType.BOX): _box_box_entry,
     (GeomType.PLANE, GeomType.MESH): plane_mesh,
 }
