@@ -77,9 +77,29 @@ def _candidate_params(m: Model, g1s: np.ndarray, g2s: np.ndarray,
           jnp.asarray(condims, dtype=jnp.int32))
 
 
+_CULL_THRESHOLD = 64
+
+
+def _cull_k(nconmax: int, n: int) -> int:
+  """Active-pair budget for a culled group: enough to fill the contact
+  pool with headroom (reference SAP's per-world active-pair queue role,
+  collision_driver.py:554)."""
+  import os
+  k = int(os.environ.get('MJWT_CULL_K', max(4 * nconmax, 64)))
+  return min(n, k)
+
+
 def collision(m: Model, d: Data) -> Data:
   """Narrowphase over the static pair list + compaction
-  (reference collision_driver.py:755)."""
+  (reference collision_driver.py:755).
+
+  Groups larger than _CULL_THRESHOLD get a per-step bounding-sphere
+  cull + top-K compaction first (the TPU-native analogue of the
+  reference's SAP broadphase, collision_driver.py:554-643): narrowphase
+  then runs on K gathered pairs instead of every static candidate.
+  Culled mesh pairs use decimated hulls (m.mesh_hullvert_small) so the
+  per-world hull gather stays small. Overlaps beyond K are dropped and
+  counted in ncollision (overflow observability)."""
   con = d.contact
   nconmax = con.dist.shape[0]
   if (m.nxn_candidates == 0 or nconmax == 0 or
@@ -87,46 +107,130 @@ def collision(m: Model, d: Data) -> Data:
     return d.replace(ncon=jnp.zeros((), jnp.int32))
 
   dtype = d.qpos.dtype
-  dists, poss, frames = [], [], []
-  g1_list, g2_list, condim_list, pairid_list = [], [], [], []
   geom_dataid = np.asarray(m.geom_dataid)
+  parts = []
+  ncull_dropped = jnp.zeros((), jnp.int32)
+
+  def pack(dist_k, pos_k, frame_k, params, g1j, g2j, k, valid=None):
+    """Normalize a group's outputs to flat per-candidate rows."""
+    n = g1j.shape[0]
+    dist_f = dist_k.reshape(n * k)
+    if valid is not None:
+      vrep = jnp.repeat(valid, k)
+      dist_f = jnp.where(vrep, dist_f, 1e10)
+    rep = lambda x: jnp.repeat(x, k, axis=0) if k > 1 else x
+    parts.append(dict(
+        dist=dist_f.astype(dtype),
+        pos=pos_k.reshape(n * k, 3),
+        frame=frame_k.reshape(n * k, 3, 3),
+        friction=rep(params[0]), solref=rep(params[1]),
+        solreffriction=rep(params[2]), solimp=rep(params[3]),
+        margin=rep(params[4]), includemargin=rep(params[5]),
+        condim=rep(params[6]),
+        g1=jnp.repeat(jnp.asarray(g1j, jnp.int32), k),
+        g2=jnp.repeat(jnp.asarray(g2j, jnp.int32), k)))
+
   for t1, t2, glist in m.collision_pairs:
+    g1s = np.array([g for g, _, _ in glist])
+    g2s = np.array([g for _, g, _ in glist])
+    pids = np.array([p for _, _, p in glist])
+    condims = np.array([_static_condim(m, g1, g2, p)
+                        for g1, g2, p in glist])
+    params = _candidate_params(m, g1s, g2s, condims, pids)
+
     if t1 == GeomType.HFIELD:
       # per-hfield-geom subgroups (static grid shape per collider)
       from . import collision_hfield
       k = collision_hfield._NCONH
       by_h = {}
-      for g1, g2, pid in glist:
-        by_h.setdefault(g1, []).append((g2, pid))
-      for g1, g2list_p in sorted(by_h.items()):
-        g2list = [g for g, _ in g2list_p]
-        pids_h = [p for _, p in g2list_p]
+      for idx, (g1, g2, pid) in enumerate(glist):
+        by_h.setdefault(g1, []).append(idx)
+      for g1, idxs in sorted(by_h.items()):
+        idxs_np = np.asarray(idxs)
+        g2sub = g2s[idxs_np]
         hid = m.geom_dataid[g1]
         fn = collision_hfield.hfield_collider(
             m, hid, m.hfield_nrow[hid], m.hfield_ncol[hid], t2)
-        g2s = np.array(g2list)
         dist_k, pos_k, frame_k = jax.vmap(
             fn, in_axes=(None, None, None, 0, 0, 0))(
             d.geom_xpos[g1], d.geom_xmat[g1], m.hfield_size[hid],
-            d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s])
-        dists.append(dist_k.reshape(-1))
-        poss.append(pos_k.reshape(-1, 3))
-        frames.append(frame_k.reshape(-1, 3, 3))
-        for g2, pid in zip(g2list, pids_h):
-          g1_list += [g1] * k
-          g2_list += [g2] * k
-          condim_list += [_static_condim(m, g1, g2, pid)] * k
-          pairid_list += [pid] * k
+            d.geom_xpos[g2sub], d.geom_xmat[g2sub], m.geom_size[g2sub])
+        sub_params = tuple(pp[idxs_np] for pp in params)
+        pack(dist_k, pos_k, frame_k, sub_params,
+             np.full(len(idxs), g1), g2sub, k)
       continue
+
+    if GeomType.SDF in (t1, t2):
+      # SDF narrowphase, subgrouped by mesh-data ids so the voxel grids
+      # are static per collider (reference collision_sdf.py:933)
+      from . import collision_sdf
+      ninit = m.opt.sdf_initpoints
+      iters = m.opt.sdf_iterations
+      geom_dataid_np = np.asarray(m.geom_dataid)
+      subs = {}
+      for idx, (g1, g2, pid) in enumerate(glist):
+        key = (int(geom_dataid_np[g1])
+               if t1 in (GeomType.MESH, GeomType.SDF) else -1,
+               int(geom_dataid_np[g2])
+               if t2 in (GeomType.MESH, GeomType.SDF) else -1)
+        subs.setdefault(key, []).append(idx)
+      for (did1, did2), idxs in sorted(subs.items()):
+        idxs_np = np.asarray(idxs)
+        g1sub = g1s[idxs_np]
+        g2sub = g2s[idxs_np]
+        fn = collision_sdf.sdf_pair_collider(m, t1, t2, did1, did2,
+                                             ninit, iters)
+        dist_k, pos_k, frame_k = jax.vmap(fn)(
+            d.geom_xpos[g1sub], d.geom_xmat[g1sub], m.geom_size[g1sub],
+            m.geom_aabb[g1sub],
+            d.geom_xpos[g2sub], d.geom_xmat[g2sub], m.geom_size[g2sub],
+            m.geom_aabb[g2sub])
+        sub_params = tuple(pp[idxs_np] for pp in params)
+        pack(dist_k, pos_k, frame_k, sub_params, g1sub, g2sub, ninit)
+      continue
+
     fn = collision_primitive.COLLIDERS.get((t1, t2))
     k = collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
     needs_verts = GeomType.MESH in (t1, t2)
     is_mpr = fn is None
     if is_mpr:
       fn = collision_convex.mpr(t1, t2)  # generic convex fallback
-    g1s = np.array([g for g, _, _ in glist])
-    g2s = np.array([g for _, g, _ in glist])
-    pids = [p for _, _, p in glist]
+    needs_margin = is_mpr or (t1, t2) in collision_primitive.NEEDS_MARGIN
+    margin_arr = params[4]
+
+    cull = len(glist) > _CULL_THRESHOLD and t1 != GeomType.PLANE
+    if cull:
+      # bounding-sphere cull + closest-K compaction
+      c1 = d.geom_xpos[g1s]
+      c2 = d.geom_xpos[g2s]
+      dvec = c1 - c2
+      d2 = jnp.sum(dvec * dvec, axis=-1)
+      rsum = m.geom_rbound[g1s] + m.geom_rbound[g2s] + margin_arr
+      overlap = d2 <= rsum * rsum
+      kk = _cull_k(nconmax, len(glist))
+      key = jnp.where(overlap, -d2, -jnp.inf)
+      _, sel = jax.lax.top_k(key, kk)
+      valid = overlap[sel]
+      ncull_dropped = ncull_dropped + jnp.maximum(
+          0, jnp.sum(overlap.astype(jnp.int32)) - kk)
+      g1j = jnp.take(jnp.asarray(g1s, jnp.int32), sel)
+      g2j = jnp.take(jnp.asarray(g2s, jnp.int32), sel)
+      args = [d.geom_xpos[g1j], d.geom_xmat[g1j], m.geom_size[g1j],
+              d.geom_xpos[g2j], d.geom_xmat[g2j], m.geom_size[g2j]]
+      if needs_verts or is_mpr:
+        def hull_dyn(gj, t):
+          if t != GeomType.MESH:
+            return jnp.zeros((kk, 1, 4), m.mesh_hullvert_small.dtype)
+          did = jnp.take(jnp.asarray(geom_dataid, jnp.int32), gj)
+          return m.mesh_hullvert_small[did]
+        args += [hull_dyn(g1j, t1), hull_dyn(g2j, t2)]
+      if needs_margin:
+        args.append(jnp.take(margin_arr, sel))
+      dist_k, pos_k, frame_k = jax.vmap(fn)(*args)
+      sel_params = tuple(jnp.take(pp, sel, axis=0) for pp in params)
+      pack(dist_k, pos_k, frame_k, sel_params, g1j, g2j, k, valid=valid)
+      continue
+
     args = [d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
             d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s]]
     if needs_verts or is_mpr:
@@ -136,39 +240,28 @@ def collision(m: Model, d: Data) -> Data:
           return jnp.zeros((len(gs), 1, 4), m.mesh_hullvert.dtype)
         return m.mesh_hullvert[geom_dataid[gs]]
       args += [hull(g1s, t1), hull(g2s, t2)]
-    if is_mpr or (t1, t2) in collision_primitive.NEEDS_MARGIN:
-      # per-pair margin: MPR runs on margin-inflated geoms so contacts
-      # appear inside the margin band, not only at penetration;
-      # box-box accepts manifold candidates up to the margin depth
-      marg = jnp.maximum(m.geom_margin[g1s], m.geom_margin[g2s])
-      pids_np = np.array(pids)
-      if (pids_np >= 0).any():
-        marg = jnp.where(jnp.asarray(pids_np >= 0),
-                         m.pair_margin[np.maximum(pids_np, 0)], marg)
-      args.append(marg)
+    if needs_margin:
+      args.append(margin_arr)
     # one traced collider per type-pair group, vmapped over its pairs
     dist_k, pos_k, frame_k = jax.vmap(fn)(*args)
-    dists.append(dist_k.reshape(-1))
-    poss.append(pos_k.reshape(-1, 3))
-    frames.append(frame_k.reshape(-1, 3, 3))
-    for g1, g2, pid in glist:
-      g1_list += [g1] * k
-      g2_list += [g2] * k
-      condim_list += [_static_condim(m, g1, g2, pid)] * k
-      pairid_list += [pid] * k
+    pack(dist_k, pos_k, frame_k, params, g1s, g2s, k)
 
-  dist = jnp.concatenate(dists)
-  pos = jnp.concatenate(poss, axis=0)
-  frame = jnp.concatenate(frames, axis=0)
-  g1s = np.array(g1_list)
-  g2s = np.array(g2_list)
-  (friction, solref, solreffriction, solimp, margin, includemargin,
-   condim) = _candidate_params(m, g1s, g2s, np.array(condim_list),
-                               np.array(pairid_list))
+  cat = lambda key: jnp.concatenate([p[key] for p in parts], axis=0)
+  dist = cat('dist')
+  pos = cat('pos')
+  frame = cat('frame')
+  friction = cat('friction')
+  solref = cat('solref')
+  solreffriction = cat('solreffriction')
+  solimp = cat('solimp')
+  margin = cat('margin')
+  includemargin = cat('includemargin')
+  condim = cat('condim')
+  g12 = jnp.stack([cat('g1'), cat('g2')], axis=1)
 
   # inclusion rule: dist < margin (C mj_collision)
   active = dist < margin
-  ncollision = jnp.sum(active.astype(jnp.int32))
+  ncollision = jnp.sum(active.astype(jnp.int32)) + ncull_dropped
   ncand = dist.shape[0]
   # compaction by top_k GATHER (TPU scatters serialize; gathers don't):
   # active candidates keep original order, inactive sort to the back
@@ -176,7 +269,7 @@ def collision(m: Model, d: Data) -> Data:
   key = jnp.where(active, ncand - idx_r, -idx_r)
   _, sel = jax.lax.top_k(key, min(nconmax, ncand))
   sel_active = active[sel]
-  ncon = jnp.minimum(ncollision, nconmax)
+  ncon = jnp.minimum(jnp.sum(active.astype(jnp.int32)), nconmax)
 
   def take(vals, fill):
     out = jnp.where(
@@ -187,8 +280,6 @@ def collision(m: Model, d: Data) -> Data:
       out = jnp.concatenate([out, pad], axis=0)
     return out
 
-  g12 = jnp.stack([jnp.asarray(g1s, jnp.int32),
-                   jnp.asarray(g2s, jnp.int32)], axis=1)
   new_con = con.replace(
       dist=take(dist, jnp.full((), 1e10, dtype)),
       pos=take(pos, jnp.zeros(3, dtype)),

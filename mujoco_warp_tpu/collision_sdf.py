@@ -1,0 +1,199 @@
+"""SDF narrowphase: contact search by gradient descent on the clearance
+field sdf1(p) + sdf2(p) + |max(sdf1, sdf2)|, from Halton-scattered
+starting points in the AABB intersection — the reference's algorithm
+(mujoco_warp/_src/collision_sdf.py:492-933; C mjc_SDFCollision),
+reformulated for JAX: analytic SDFs for primitives, dense voxel-grid
+SDFs for meshes (built at put_model from the compiled MuJoCo octree or
+by direct voxelization — io._build_sdf_grids), and `jax.grad` for every
+gradient the reference hand-derives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import math
+from .types import GeomType, Model
+
+_BIG = 1e10
+
+
+def _safe_norm(v):
+  """|v| with a NaN-free gradient at v = 0 (jax.grad of sqrt(0) is NaN;
+  every clearance here is differentiated)."""
+  s = jnp.sum(v * v)
+  pos = s > 0
+  return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
+
+
+def _halton(i: int, base: int) -> float:
+  f, r = 1.0, 0.0
+  while i > 0:
+    f /= base
+    r += f * (i % base)
+    i //= base
+  return r
+
+
+def _primitive_sdf(gtype: int, p, size):
+  """Analytic signed distance in geom frame (reference
+  collision_sdf.py:158-231)."""
+  if gtype == GeomType.PLANE:
+    return p[2]
+  if gtype == GeomType.SPHERE:
+    return _safe_norm(p) - size[0]
+  if gtype == GeomType.BOX:
+    q = jnp.abs(p) - size
+    return (_safe_norm(jnp.maximum(q, 0.0)) +
+            jnp.minimum(jnp.max(q), 0.0))
+  if gtype == GeomType.ELLIPSOID:
+    k0 = _safe_norm(p / size)
+    k1 = _safe_norm(p / (size * size))
+    return k0 * (k0 - 1.0) / jnp.maximum(k1, 1e-12)
+  if gtype == GeomType.CAPSULE:
+    z = jnp.clip(p[2], -size[1], size[1])
+    return _safe_norm(p - jnp.array([0.0, 0.0, 1.0], p.dtype) * z) - size[0]
+  if gtype == GeomType.CYLINDER:
+    dxy = _safe_norm(p[:2]) - size[0]
+    dz = jnp.abs(p[2]) - size[1]
+    q = jnp.stack([dxy, dz])
+    return (jnp.minimum(jnp.max(q), 0.0) +
+            _safe_norm(jnp.maximum(q, 0.0)))
+  raise NotImplementedError(f'sdf for geom type {gtype}')
+
+
+def _grid_sdf(grid: jax.Array, center, half, p):
+  """Trilinear sample of a voxel SDF; queries outside the box add the
+  box distance (reference box_project + sample_volume_sdf)."""
+  res = grid.shape[0]
+  lo = center - half
+  hi = center + half
+  q = jnp.abs(p - center) - half
+  dist0 = _safe_norm(jnp.maximum(q, 0.0))
+  pc = jnp.clip(p, lo, hi)
+  u = (pc - lo) / jnp.maximum(hi - lo, 1e-12) * (res - 1)
+  i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, res - 2)
+  f = u - i0
+  c = 0.0
+  for j in range(8):
+    ix = i0[0] + (j & 1)
+    iy = i0[1] + ((j >> 1) & 1)
+    iz = i0[2] + ((j >> 2) & 1)
+    w = ((f[0] if j & 1 else 1 - f[0]) *
+         (f[1] if j & 2 else 1 - f[1]) *
+         (f[2] if j & 4 else 1 - f[2]))
+    c = c + w * grid[ix, iy, iz]
+  return dist0 + c
+
+
+def _transformed_aabb(center, half, pos, mat):
+  """Axis-aligned bound of a rotated AABB (reference transform_aabb)."""
+  new_center = mat @ center + pos
+  new_half = jnp.abs(mat) @ half
+  return new_center, new_half
+
+
+def sdf_pair_collider(m: Model, t1: int, t2: int, did1: int, did2: int,
+                      ninit: int, iters: int):
+  """Collider closure for one (type1, type2, mesh-data) subgroup.
+  Returns fn(p1, m1, s1, aabb1, p2, m2, s2, aabb2) ->
+  (dist (ninit,), pos (ninit, 3), frame (ninit, 3, 3))."""
+  g1_grid = None
+  g2_grid = None
+  if t1 in (GeomType.MESH, GeomType.SDF) and did1 >= 0:
+    gi = m.sdf_grid_of_mesh[did1]
+    if gi < 0:
+      raise NotImplementedError(f'no SDF grid for mesh {did1}')
+    g1_grid = (m.sdf_grids[gi], m.sdf_grid_aabb[gi])
+  if t2 in (GeomType.MESH, GeomType.SDF) and did2 >= 0:
+    gi = m.sdf_grid_of_mesh[did2]
+    if gi < 0:
+      raise NotImplementedError(f'no SDF grid for mesh {did2}')
+    g2_grid = (m.sdf_grids[gi], m.sdf_grid_aabb[gi])
+
+  # Halton-scattered unit-cube points (reference uses bases 2/3/5)
+  h = np.array([[_halton(i, 2), _halton(i, 3), _halton(i, 5)]
+                for i in range(ninit)], np.float32)
+
+  def fn(p1, m1, s1, aabb1, p2, m2, s2, aabb2):
+    dtype = p1.dtype
+
+    def sdf1(p):
+      if g1_grid is not None:
+        return _grid_sdf(g1_grid[0], g1_grid[1][0], g1_grid[1][1], p)
+      return _primitive_sdf(t1, p, s1)
+
+    def sdf2(p):
+      if g2_grid is not None:
+        return _grid_sdf(g2_grid[0], g2_grid[1][0], g2_grid[1][1], p)
+      return _primitive_sdf(t2, p, s2)
+
+    rel_mat = m1.T @ m2                    # g2 -> g1
+    rel_pos = m1.T @ (p2 - p1)
+
+    def clear_sum(x):
+      s1v = sdf1(rel_mat @ x + rel_pos)
+      s2v = sdf2(x)
+      return s1v + s2v + jnp.abs(jnp.maximum(s1v, s2v))
+
+    def clear_max(x):
+      return jnp.maximum(sdf1(rel_mat @ x + rel_pos), sdf2(x))
+
+    # AABB intersection in the g1 frame (reference _sdf_narrowphase)
+    c2g1, h2g1 = _transformed_aabb(aabb2[0], aabb2[1], rel_pos, rel_mat)
+    imin = jnp.maximum(aabb1[0] - aabb1[1], c2g1 - h2g1)
+    imax = jnp.minimum(aabb1[0] + aabb1[1], c2g1 + h2g1)
+    x_g1 = imin[None, :] + (imax - imin)[None, :] * jnp.asarray(h, dtype)
+    # to world, then to g2-local (the descent variable)
+    x_w = x_g1 @ m1.T + p1[None, :]
+    x0s = (x_w - p2[None, :]) @ m2
+
+    alphas = (2.0 * 0.5 ** np.arange(1, 16)).astype(np.float32)
+    wolfe_c = 0.1
+
+    def gradstep(fn_clear, x0, niter):
+      def body(carry, _):
+        x, stopped, dist = carry
+        g = jax.grad(fn_clear)(x)
+        d0 = fn_clear(x)
+        gd = jnp.dot(g, g)
+        cand = x[None, :] - g[None, :] * alphas[:, None]
+        dvals = jax.vmap(fn_clear)(cand)
+        accept = ((dvals - d0) <= (-wolfe_c * alphas * gd)) | (
+            alphas <= 1e-4)
+        first = jnp.argmax(accept)
+        xn = cand[first]
+        dn = dvals[first]
+        tiny = gd < 1e-12
+        worse = dn > d0
+        x_out = jnp.where(stopped | tiny, x, xn)
+        d_out = jnp.where(stopped, dist, jnp.where(tiny, d0, dn))
+        return (x_out, stopped | tiny | worse, d_out), None
+
+      init = (x0, jnp.zeros((), bool), jnp.full((), _BIG, dtype))
+      (x, _, dist), _ = jax.lax.scan(body, init, None, length=niter)
+      return dist, x
+
+    def descend(x0):
+      _, x = gradstep(clear_sum, x0, iters)
+      dist, x = gradstep(clear_max, x, 1)
+      p_in_1 = rel_mat @ x + rel_pos
+      n1 = math.normalize(rel_mat.T @ jax.grad(sdf1)(p_in_1))
+      n2 = math.normalize(jax.grad(sdf2)(x))
+      n = math.normalize(n1 - n2)
+      pos_w = m2 @ x + p2
+      n_w = m2 @ n
+      pos3 = pos_w - n_w * dist * 0.5
+      return dist, pos3, math.make_frame(n_w)
+
+    dists, poss, frames = jax.vmap(descend)(x0s)
+    # empty AABB intersection: no overlap possible
+    empty = jnp.any(imax < imin)
+    dists = jnp.where(empty, _BIG, dists)
+    return dists, poss, frames
+
+  return fn

@@ -160,6 +160,41 @@ def _mesh_hulls(mjm: mujoco.MjModel) -> np.ndarray:
   return out
 
 
+def _decimate_hulls(hulls: np.ndarray, vmax: int | None = None
+                    ) -> np.ndarray:
+  """Farthest-point-subsample each padded hull to <= vmax vertices.
+
+  Used by the culled/compacted narrowphase path, where hull buffers are
+  gathered per selected pair per world — full hulls (1000+ verts on the
+  aloha/kitchen assets) would blow the gather. Decimation keeps the
+  support function conservative-ish (slightly shrunken hull); contact
+  error is bounded by the local hull coarsening. MJWT_HULL_MAX tunes it."""
+  import os
+  if vmax is None:
+    vmax = int(os.environ.get('MJWT_HULL_MAX', 64))
+  nmesh, v, _ = hulls.shape
+  if v <= vmax:
+    return hulls
+  out = np.zeros((nmesh, vmax, 4), dtype=hulls.dtype)
+  for i in range(nmesh):
+    verts = hulls[i][hulls[i, :, 3] > 0, :3]
+    n = len(verts)
+    if n <= vmax:
+      out[i, :n, :3] = verts
+      out[i, :n, 3] = 1.0
+      continue
+    # farthest-point sampling seeded at the extreme-x vertex
+    chosen = [int(np.argmax(verts[:, 0]))]
+    dist = np.linalg.norm(verts - verts[chosen[0]], axis=1)
+    for _ in range(vmax - 1):
+      nxt = int(np.argmax(dist))
+      chosen.append(nxt)
+      dist = np.minimum(dist, np.linalg.norm(verts - verts[nxt], axis=1))
+    out[i, :vmax, :3] = verts[chosen]
+    out[i, :vmax, 3] = 1.0
+  return out
+
+
 def _collision_pairs(mjm: mujoco.MjModel):
   """Static broadphase precompute: filtered geom pair list grouped by
   (type1, type2) with MuJoCo's contype/conaffinity, same-weld,
@@ -211,7 +246,13 @@ def _collision_pairs(mjm: mujoco.MjModel):
           types.GeomType.SPHERE, types.GeomType.CAPSULE,
           types.GeomType.BOX, types.GeomType.ELLIPSOID,
           types.GeomType.CYLINDER)
+      sdf_ok = types.GeomType.SDF in key and key[0] in (
+          types.GeomType.PLANE, types.GeomType.SPHERE,
+          types.GeomType.CAPSULE, types.GeomType.CYLINDER,
+          types.GeomType.ELLIPSOID, types.GeomType.BOX,
+          types.GeomType.MESH, types.GeomType.SDF)
       supported = (key in collision_primitive.MAX_CONTACTS or hfield_ok or
+                   sdf_ok or
                    (key[0] in collision_convex.SUPPORT and
                     key[1] in collision_convex.SUPPORT))
       if not supported:
@@ -282,6 +323,214 @@ def _tendon_structure(mjm: mujoco.MjModel) -> tuple:
   return tuple(out)
 
 
+def _sample_octree_grid(mjm: mujoco.MjModel, meshid: int,
+                        res: int) -> tuple[np.ndarray, np.ndarray]:
+  """Resample a compiled MuJoCo mesh octree SDF (mjm.oct_*) onto a dense
+  res^3 voxel grid spanning the root AABB (reference collision_sdf.py
+  find_oct + sample_volume_sdf read the octree per query; a dense grid
+  turns every runtime query into one trilinear gather — TPU-native)."""
+  root = int(mjm.mesh_octadr[meshid])
+  aabb = np.asarray(mjm.oct_aabb).reshape(-1, 2, 3)
+  child = np.asarray(mjm.oct_child).reshape(-1, 8)
+  coeff = np.asarray(mjm.oct_coeff).reshape(-1, 8)
+  center, half = aabb[root, 0], aabb[root, 1]
+  lo, hi = center - half, center + half
+  axes = [np.linspace(lo[k], hi[k], res) for k in range(3)]
+  gx, gy, gz = np.meshgrid(*axes, indexing='ij')
+  pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+  # clamp strictly inside the root so the descend stays in-box
+  eps = 1e-6
+  pts = np.clip(pts, lo + eps * (hi - lo), hi - eps * (hi - lo))
+
+  node = np.full(len(pts), root, dtype=np.int64)
+  for _ in range(24):  # octree depth bound
+    vmin = aabb[node, 0] - aabb[node, 1]
+    vmax = aabb[node, 0] + aabb[node, 1]
+    coord = (pts - vmin) / np.maximum(vmax - vmin, 1e-12)
+    is_leaf = (child[node] == -1).all(axis=1)
+    oct_idx = ((coord[:, 0] >= 0.5).astype(np.int64) +
+               2 * (coord[:, 1] >= 0.5).astype(np.int64) +
+               4 * (coord[:, 2] >= 0.5).astype(np.int64))
+    nxt = child[node, oct_idx]
+    step = ~is_leaf & (nxt != -1)
+    node = np.where(step, nxt + root, node)
+    if not step.any():
+      break
+  vmin = aabb[node, 0] - aabb[node, 1]
+  vmax = aabb[node, 0] + aabb[node, 1]
+  t = (pts - vmin) / np.maximum(vmax - vmin, 1e-12)
+  w = np.ones((len(pts), 8))
+  for j in range(8):
+    w[:, j] = ((t[:, 0] if j & 1 else 1 - t[:, 0]) *
+               (t[:, 1] if j & 2 else 1 - t[:, 1]) *
+               (t[:, 2] if j & 4 else 1 - t[:, 2]))
+  vals = np.sum(w * coeff[node], axis=1)
+  grid = vals.reshape(res, res, res).astype(np.float32)
+  return grid, np.stack([center, half]).astype(np.float32)
+
+
+def _voxelize_mesh_grid(mjm: mujoco.MjModel, meshid: int,
+                        res: int) -> tuple[np.ndarray, np.ndarray]:
+  """Signed-distance voxel grid for a plain (non-octree) mesh:
+  unsigned distance to triangles, sign by +x ray-crossing parity.
+  Heavy (res^3 x nface) — jitted on CPU and disk-cached by mesh hash."""
+  import hashlib
+  import os
+  vadr, vnum = int(mjm.mesh_vertadr[meshid]), int(mjm.mesh_vertnum[meshid])
+  fadr, fnum = int(mjm.mesh_faceadr[meshid]), int(mjm.mesh_facenum[meshid])
+  verts = np.asarray(mjm.mesh_vert[vadr:vadr + vnum], np.float32)
+  faces = np.asarray(mjm.mesh_face[fadr:fadr + fnum], np.int64)
+  key = hashlib.sha1(verts.tobytes() + faces.tobytes() +
+                     str(res).encode()).hexdigest()[:16]
+  cache_dir = os.path.expanduser('~/.cache/mjwt_sdf')
+  os.makedirs(cache_dir, exist_ok=True)
+  cache = os.path.join(cache_dir, f'{key}.npz')
+  if os.path.exists(cache):
+    z = np.load(cache)
+    return z['grid'], z['aabb']
+
+  lo = verts.min(0)
+  hi = verts.max(0)
+  pad = 0.15 * (hi - lo).max() + 1e-4
+  lo, hi = lo - pad, hi + pad
+  center = 0.5 * (lo + hi)
+  half = 0.5 * (hi - lo)
+  axes = [np.linspace(lo[k], hi[k], res, dtype=np.float32)
+          for k in range(3)]
+  gx, gy, gz = np.meshgrid(*axes, indexing='ij')
+  pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+  tri = verts[faces]                                  # (F, 3, 3)
+
+  def chunk_dist(p):                                  # (P, 3)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab, ac = b - a, c - a
+    ap = p[:, None, :] - a[None, :, :]                # (P, F, 3)
+    d1 = jnp.einsum('fi,pfi->pf', ab, ap)
+    d2 = jnp.einsum('fi,pfi->pf', ac, ap)
+    bp = p[:, None, :] - b[None, :, :]
+    d3 = jnp.einsum('fi,pfi->pf', ab, bp)
+    d4 = jnp.einsum('fi,pfi->pf', ac, bp)
+    cp = p[:, None, :] - c[None, :, :]
+    d5 = jnp.einsum('fi,pfi->pf', ab, cp)
+    d6 = jnp.einsum('fi,pfi->pf', ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-20)
+    v = jnp.clip(vb / denom, 0.0, 1.0)
+    w = jnp.clip(vc / denom, 0.0, 1.0)
+    # barycentric clamp fallback: project to edges/verts via clip chain
+    v = jnp.where((d1 <= 0) & (d2 <= 0), 0.0, v)
+    w = jnp.where((d1 <= 0) & (d2 <= 0), 0.0, w)
+    v = jnp.where((d3 >= 0) & (d4 <= d3), 1.0, v)
+    w = jnp.where((d3 >= 0) & (d4 <= d3), 0.0, w)
+    v = jnp.where((d6 >= 0) & (d5 <= d6), 0.0, v)
+    w = jnp.where((d6 >= 0) & (d5 <= d6), 1.0, w)
+    e_ab = jnp.clip(jnp.where(jnp.abs(d1 - d3) > 1e-20,
+                              d1 / jnp.maximum(d1 - d3, 1e-20), 0.0),
+                    0.0, 1.0)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    v = jnp.where(on_ab, e_ab, v)
+    w = jnp.where(on_ab, 0.0, w)
+    e_ac = jnp.clip(jnp.where(jnp.abs(d2 - d6) > 1e-20,
+                              d2 / jnp.maximum(d2 - d6, 1e-20), 0.0),
+                    0.0, 1.0)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    v = jnp.where(on_ac, 0.0, v)
+    w = jnp.where(on_ac, e_ac, w)
+    e_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6),
+                                            1e-20), 0.0, 1.0)
+    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+    v = jnp.where(on_bc, 1.0 - e_bc, v)
+    w = jnp.where(on_bc, e_bc, w)
+    closest = (a[None] + v[..., None] * ab[None] + w[..., None] * ac[None])
+    dist = jnp.min(jnp.linalg.norm(p[:, None, :] - closest, axis=-1),
+                   axis=1)
+    # sign: +x ray crossing parity (Moller-Trumbore, watertight-ish)
+    eps = 1e-12
+    dirv = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    pvec = jnp.cross(dirv, ac)                        # (F, 3)
+    det = jnp.einsum('fi,fi->f', ab, pvec)
+    inv = 1.0 / jnp.where(jnp.abs(det) < eps, 1.0, det)
+    tvec = p[:, None, :] - a[None]
+    u = jnp.einsum('pfi,fi->pf', tvec, pvec) * inv
+    qvec = jnp.cross(tvec, ab[None])
+    vv = jnp.einsum('pfi,i->pf', qvec, dirv) * inv
+    tt = jnp.einsum('pfi,fi->pf', qvec, ac) * inv
+    hit = ((jnp.abs(det) >= eps) & (u >= 0) & (vv >= 0) &
+           (u + vv <= 1) & (tt > 0))
+    crossings = jnp.sum(hit, axis=1)
+    inside = (crossings % 2) == 1
+    return jnp.where(inside, -dist, dist)
+
+  fchunk = jax.jit(chunk_dist, backend='cpu')
+  out = np.empty(len(pts), np.float32)
+  step = 2048
+  for i in range(0, len(pts), step):
+    out[i:i + step] = np.asarray(fchunk(jnp.asarray(pts[i:i + step])))
+  grid = out.reshape(res, res, res)
+  aabb = np.stack([center, half]).astype(np.float32)
+  np.savez(cache, grid=grid, aabb=aabb)
+  return grid, aabb
+
+
+def _build_sdf_grids(mjm: mujoco.MjModel):
+  """Voxel SDF grids for every mesh participating in an SDF collision
+  pair. Returns (grids (n, R, R, R), aabbs (n, 2, 3), meshid->grid map)."""
+  import os
+  res = int(os.environ.get('MJWT_SDF_RES', 48))
+  sdf_geoms = [g for g in range(mjm.ngeom)
+               if mjm.geom_type[g] == types.GeomType.SDF]
+  grid_of_mesh = [-1] * max(mjm.nmesh, 1)
+  if not sdf_geoms:
+    return (np.zeros((1, 1, 1, 1), np.float32),
+            np.zeros((1, 2, 3), np.float32), grid_of_mesh)
+  # meshes needing grids: every SDF geom's mesh + every plain mesh that
+  # can pair with an SDF geom (conservatively: all meshes)
+  need = set()
+  for g in sdf_geoms:
+    if mjm.geom_dataid[g] >= 0:
+      need.add(int(mjm.geom_dataid[g]))
+  for g in range(mjm.ngeom):
+    if (mjm.geom_type[g] != types.GeomType.MESH or
+        mjm.geom_dataid[g] < 0):
+      continue
+    # only meshes whose contype/conaffinity can actually pair with an
+    # SDF geom (voxelization is expensive)
+    for h in sdf_geoms:
+      if ((mjm.geom_contype[g] & mjm.geom_conaffinity[h]) or
+          (mjm.geom_contype[h] & mjm.geom_conaffinity[g])):
+        need.add(int(mjm.geom_dataid[g]))
+        break
+  grids, aabbs = [], []
+  for meshid in sorted(need):
+    if mjm.mesh_octadr[meshid] >= 0:
+      grid, aabb = _sample_octree_grid(mjm, meshid, res)
+    else:
+      grid, aabb = _voxelize_mesh_grid(mjm, meshid, res)
+    grid_of_mesh[meshid] = len(grids)
+    grids.append(grid)
+    aabbs.append(aabb)
+  return (np.stack(grids), np.stack(aabbs), grid_of_mesh)
+
+
+def _mesh_faces(mjm: mujoco.MjModel) -> np.ndarray:
+  """(nmesh, fmax, 3, 3) padded triangle vertices in geom frame, for
+  ray-mesh intersection (reference ray.py:188-700 ray_mesh role).
+  Padding triangles are degenerate (zeros) and never hit."""
+  if mjm.nmesh == 0:
+    return np.zeros((0, 1, 3, 3), dtype=np.float32)
+  fmax = max(1, int(mjm.mesh_facenum.max()))
+  out = np.zeros((mjm.nmesh, fmax, 3, 3), dtype=np.float32)
+  for i in range(mjm.nmesh):
+    vadr = int(mjm.mesh_vertadr[i])
+    fadr, fnum = int(mjm.mesh_faceadr[i]), int(mjm.mesh_facenum[i])
+    faces = mjm.mesh_face[fadr:fadr + fnum]
+    out[i, :fnum] = mjm.mesh_vert[vadr + faces]
+  return out
+
+
 def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
   """(nhfield, max_nrow, max_ncol) padded normalized height grids."""
   if mjm.nhfield == 0:
@@ -298,6 +547,7 @@ def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
 
 def put_model(mjm: mujoco.MjModel) -> Model:
   _validate(mjm)
+  _sdf_grids_cached = _build_sdf_grids(mjm)
 
   opt = Option(
       timestep=_jp(mjm.opt.timestep),
@@ -325,6 +575,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       # elliptic models default to the iterative (safeguarded-Newton)
       # variant.
       ls_parallel=int(mjm.opt.cone) != int(types.ConeType.ELLIPTIC),
+      sdf_iterations=int(mjm.opt.sdf_iterations),
+      sdf_initpoints=int(mjm.opt.sdf_initpoints),
       disableflags=int(mjm.opt.disableflags),
       enableflags=int(mjm.opt.enableflags),
       run_collision_detection=True,
@@ -444,6 +696,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       sensor_adr=_tup(mjm.sensor_adr),
       sensor_dim=_tup(mjm.sensor_dim),
       sensor_needstage=_tup(mjm.sensor_needstage),
+      sensor_intprm=_tup(getattr(mjm, 'sensor_intprm',
+                                 np.zeros((mjm.nsensor, 1)))),
       collision_pairs=collision_pairs,
       nxn_candidates=nxn_candidates,
       condim_max=condim_max,
@@ -497,7 +751,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       geom_margin=_jp(mjm.geom_margin),
       geom_gap=_jp(mjm.geom_gap),
       geom_rbound=_jp(mjm.geom_rbound),
-      geom_aabb=_jp(mjm.geom_aabb.reshape(mjm.ngeom, 6)),
+      geom_aabb=_jp(mjm.geom_aabb.reshape(mjm.ngeom, 2, 3)
+                    if mjm.ngeom else np.zeros((0, 2, 3))),
       site_pos=_jp(mjm.site_pos),
       site_quat=_jp(mjm.site_quat),
       site_size=_jp(mjm.site_size),
@@ -555,6 +810,11 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       nkey=mjm.nkey,
       nmesh=mjm.nmesh,
       mesh_hullvert=_jp(_mesh_hulls(mjm)),
+      mesh_hullvert_small=_jp(_decimate_hulls(_mesh_hulls(mjm))),
+      mesh_faces=_jp(_mesh_faces(mjm)),
+      sdf_grids=_jp(_sdf_grids_cached[0]),
+      sdf_grid_aabb=_jp(_sdf_grids_cached[1]),
+      sdf_grid_of_mesh=_tup(_sdf_grids_cached[2]),
       nhfield=mjm.nhfield,
       hfield_nrow=_tup(mjm.hfield_nrow),
       hfield_ncol=_tup(mjm.hfield_ncol),
@@ -736,7 +996,11 @@ def get_data_into(mjd: mujoco.MjData, m: Model, d: Data):
                'actuator_length', 'actuator_velocity', 'actuator_force',
                'sensordata'):
     val = np.asarray(getattr(d, name))
-    getattr(mjd, name)[...] = val.reshape(getattr(mjd, name).shape)
+    tgt = getattr(mjd, name)
+    if np.isscalar(tgt) or getattr(tgt, 'shape', ()) == ():
+      setattr(mjd, name, float(val))
+    else:
+      tgt[...] = val.reshape(tgt.shape)
   for name, attr in (('xmat', 'xmat'), ('ximat', 'ximat'),
                      ('geom_xmat', 'geom_xmat'), ('site_xmat', 'site_xmat')):
     val = np.asarray(getattr(d, name))
@@ -851,6 +1115,26 @@ def override_model(m: Model, overrides: list[str] | str) -> Model:
       raise ValueError(f'unknown option {field}')
     opt = dataclasses.replace(opt, **{field: new})
   return dataclasses.replace(m, opt=opt)
+
+
+def set_length_range(m: Model, mjm: mujoco.MjModel,
+                     **kwargs) -> Model:
+  """Estimate actuator length ranges by simulation and refresh
+  Model.actuator_lengthrange (reference io.py:2465 set_length_range).
+
+  Length-range estimation is a model-compile-time utility, so the
+  honest engineering choice on any backend is the C implementation:
+  mj_setLengthRange drives each actuator to its limits with the native
+  engine, then the result is re-uploaded. kwargs map to mjLROpt fields
+  (e.g. accel, maxforce, timestep)."""
+  opt = mujoco.MjLROpt()
+  for k, v in kwargs.items():
+    setattr(opt, k, v)
+  mjd = mujoco.MjData(mjm)
+  for u in range(mjm.nu):
+    mujoco.mj_setLengthRange(mjm, mjd, u, opt)
+  return dataclasses.replace(
+      m, actuator_lengthrange=_jp(mjm.actuator_lengthrange))
 
 
 # ---------------------------------------------------------------------------

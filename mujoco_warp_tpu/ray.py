@@ -158,20 +158,36 @@ RAY_FN = {
 }
 
 
-def ray_mesh(m: Model, geomid: int, pos, mat, pnt, vec):
-  """Brute-force ray vs convex hull: slab test against all hull faces is
-  unavailable (no faces stored) — use the support-plane bound instead:
-  intersect with the hull via 2-phase: coarse sphere prune happens in
-  ray(); here test every hull vertex plane fan (approximation: treat the
-  hull as its bounding box). Proper triangle BVH lands with the
-  renderer."""
-  raise NotImplementedError
+def ray_mesh(faces, pos, mat, pnt, vec):
+  """Ray vs triangle mesh: vectorized Moller-Trumbore over the padded
+  face array (degenerate padding rows never hit), min positive t
+  (reference ray.py:188-700 ray_mesh; BVH acceleration is future work —
+  on TPU a dense masked sweep is the natural first formulation)."""
+  p = mat.T @ (pnt - pos)
+  v = mat.T @ vec
+  a = faces[:, 0]
+  e1 = faces[:, 1] - a
+  e2 = faces[:, 2] - a
+  pvec = jnp.cross(v[None, :], e2)
+  det = jnp.einsum('fi,fi->f', e1, pvec)
+  ok = jnp.abs(det) > 1e-12
+  inv = 1.0 / jnp.where(ok, det, 1.0)
+  tvec = p[None, :] - a
+  u = jnp.einsum('fi,fi->f', tvec, pvec) * inv
+  qvec = jnp.cross(tvec, e1)
+  w = jnp.einsum('i,fi->f', v, qvec) * inv
+  t = jnp.einsum('fi,fi->f', e2, qvec) * inv
+  hit = ok & (u >= 0) & (w >= 0) & (u + w <= 1) & (t >= 0)
+  return jnp.min(jnp.where(hit, t, _INF))
 
 
 def ray_geom(m: Model, d: Data, geomid: int, pnt: jax.Array,
              vec: jax.Array) -> jax.Array:
   """t for one (static-id) geom."""
   gtype = GeomType(m.geom_type[geomid])
+  if gtype == GeomType.MESH and m.geom_dataid[geomid] >= 0:
+    return ray_mesh(m.mesh_faces[m.geom_dataid[geomid]],
+                    d.geom_xpos[geomid], d.geom_xmat[geomid], pnt, vec)
   fn = RAY_FN.get(gtype)
   if fn is None:
     return jnp.full((), _INF, pnt.dtype)
@@ -189,7 +205,9 @@ def ray(m: Model, d: Data, pnt: jax.Array, vec: jax.Array,
   for g in range(m.ngeom):
     if m.geom_bodyid[g] == bodyexclude:
       continue
-    if GeomType(m.geom_type[g]) not in RAY_FN:
+    gt = GeomType(m.geom_type[g])
+    if gt not in RAY_FN and not (gt == GeomType.MESH and
+                                 m.geom_dataid[g] >= 0):
       continue
     ts.append(ray_geom(m, d, g, pnt, vec))
     ids.append(g)

@@ -35,8 +35,166 @@ SUPPORTED_SENSORS = {
     SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
     SensorType.TENDONACTFRC, SensorType.CAMPROJECTION,
     SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
-    SensorType.INSIDESITE,
+    SensorType.INSIDESITE, SensorType.CONTACT,
 }
+
+
+def _inside_volume(gtype: int, size, pos_local):
+  """Point-inside test for a site volume (reference sensor.py
+  inside_geom; used by the contact sensor's site filter)."""
+  x, y, z = pos_local[0], pos_local[1], pos_local[2]
+  from .types import GeomType
+  if gtype == GeomType.SPHERE:
+    return jnp.sum(pos_local * pos_local) <= size[0] * size[0]
+  if gtype == GeomType.CAPSULE:
+    zc = jnp.clip(z, -size[1], size[1])
+    dd = x * x + y * y + (z - zc) ** 2
+    return dd <= size[0] * size[0]
+  if gtype == GeomType.ELLIPSOID:
+    return ((x / size[0]) ** 2 + (y / size[1]) ** 2 +
+            (z / size[2]) ** 2) <= 1.0
+  if gtype == GeomType.CYLINDER:
+    return (x * x + y * y <= size[0] * size[0]) & (
+        jnp.abs(z) <= size[1])
+  # box
+  return ((jnp.abs(x) <= size[0]) & (jnp.abs(y) <= size[1]) &
+          (jnp.abs(z) <= size[2]))
+
+
+def _contact_sensor(m: Model, d: Data, sd, s: int):
+  """mjSENS_CONTACT: match contacts against (obj, ref), reduce, and
+  emit dataspec fields per slot (reference sensor.py:1750-1960,
+  2256-2446; C mjSENS_CONTACT)."""
+  import numpy as np
+  from . import support
+  intprm = m.sensor_intprm[s]
+  dataspec, reduce_op = int(intprm[0]), int(intprm[1])
+  adr, dim = m.sensor_adr[s], m.sensor_dim[s]
+  objtype, objid = m.sensor_objtype[s], m.sensor_objid[s]
+  reftype, refid = m.sensor_reftype[s], m.sensor_refid[s]
+  dtype = d.qpos.dtype
+  con = d.contact
+  C = con.dist.shape[0]
+
+  fields = [('found', 1), ('force', 3), ('torque', 3), ('dist', 1),
+            ('pos', 3), ('normal', 3), ('tangent', 3)]
+  active_fields = [(name, w) for i, (name, w) in enumerate(fields)
+                   if dataspec & (1 << i)]
+  size = sum(w for _, w in active_fields)
+  num = dim // size
+  if C == 0:
+    return sd.at[adr:adr + dim].set(0.0)
+
+  geom_bodyid = np.asarray(m.geom_bodyid)
+  g1 = con.geom[:, 0]
+  g2 = con.geom[:, 1]
+  validc = g1 >= 0
+  b1 = jnp.take(jnp.asarray(geom_bodyid), jnp.maximum(g1, 0))
+  b2 = jnp.take(jnp.asarray(geom_bodyid), jnp.maximum(g2, 0))
+
+  def check(otype, oid, b, g):
+    if otype in (ObjType.UNKNOWN, ObjType.SITE):
+      return jnp.ones(C, bool)
+    if otype == ObjType.GEOM:
+      return g == oid
+    if otype == ObjType.BODY:
+      return b == oid
+    if otype == ObjType.XBODY:
+      anc = np.zeros(m.nbody, bool)
+      for k in range(m.nbody):
+        bb = k
+        while bb > oid:
+          bb = m.body_parentid[bb]
+        anc[k] = (bb == oid)
+      return jnp.take(jnp.asarray(anc), b)
+    raise NotImplementedError(f'contact sensor objtype {otype}')
+
+  m11 = check(objtype, objid, b1, g1)
+  m12 = check(objtype, objid, b2, g2)
+  m21 = check(reftype, refid, b1, g1)
+  m22 = check(reftype, refid, b2, g2)
+  match = (m11 | m12) & (m21 | m22) & validc
+
+  if objtype == ObjType.SITE:
+    rel = con.pos - d.site_xpos[objid][None, :]
+    local = jnp.einsum('ij,cj->ci', d.site_xmat[objid].T, rel)
+    match = match & jax.vmap(
+        lambda p: _inside_volume(m.site_type[objid],
+                                 m.site_size[objid], p))(local)
+
+  known_obj = objtype != ObjType.UNKNOWN
+  known_ref = reftype != ObjType.UNKNOWN
+  direction = jnp.ones(C, dtype)
+  if known_obj and known_ref:
+    order_reg = m11 & m22
+    order_rev = m12 & m21
+    match = match & (order_reg | order_rev)
+    direction = jnp.where(order_rev & ~order_reg, -1.0, 1.0)
+  elif known_obj:
+    direction = jnp.where(m11, 1.0, -1.0)
+  elif known_ref:
+    direction = jnp.where(m22, 1.0, -1.0)
+
+  nmatch = jnp.sum(match.astype(jnp.int32))
+  need_force = any(n in ('force', 'torque') for n, _ in active_fields
+                   ) or reduce_op in (2, 3)
+  if need_force:
+    ft = jax.vmap(lambda i: support.contact_force(m, d, i))(
+        jnp.arange(C))                            # (C, 6) contact frame
+  else:
+    ft = jnp.zeros((C, 6), dtype)
+
+  out = jnp.zeros(dim, dtype)
+  if reduce_op == 3:  # netforce
+    w = jnp.linalg.norm(ft[:, :3], axis=1) * match
+    f_glob = jnp.einsum('cij,cj->ci', con.frame.transpose(0, 2, 1),
+                        ft[:, :3] * direction[:, None])
+    t_glob = jnp.einsum('cij,cj->ci', con.frame.transpose(0, 2, 1),
+                        ft[:, 3:] * direction[:, None])
+    mk = match.astype(dtype)[:, None]
+    net_force = jnp.sum(mk * f_glob, axis=0)
+    net_torque = jnp.sum(mk * (t_glob + jnp.cross(con.pos, f_glob)),
+                         axis=0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-15)
+    net_pos = jnp.sum(w[:, None] * con.pos, axis=0) / wsum
+    net_torque = net_torque - jnp.cross(net_pos, net_force)
+    vals = dict(found=jnp.array([nmatch], dtype),
+                force=net_force, torque=net_torque,
+                dist=jnp.zeros(1, dtype), pos=net_pos,
+                normal=jnp.array([1.0, 0.0, 0.0], dtype),
+                tangent=jnp.array([0.0, 1.0, 0.0], dtype))
+    off = 0
+    for name, wd in active_fields:
+      out = out.at[off:off + wd].set(vals[name])
+      off += wd
+  else:
+    if reduce_op == 1:    # mindist
+      crit = con.dist
+    elif reduce_op == 2:  # maxforce
+      crit = -jnp.sum(ft[:, :3] ** 2, axis=1)
+    else:                 # none: stable contact-pool order
+      crit = jnp.arange(C, dtype=dtype)
+    key = jnp.where(match, -crit, -jnp.inf)
+    _, sel = jax.lax.top_k(key, min(num, C))
+    sel_valid = match[sel]
+    for slot in range(min(num, C)):
+      cid = sel[slot]
+      ok = sel_valid[slot]
+      dirv = direction[cid]
+      vals = dict(
+          found=jnp.array([nmatch], dtype).astype(dtype),
+          force=jnp.stack([ft[cid, 0], ft[cid, 1], dirv * ft[cid, 2]]),
+          torque=jnp.stack([ft[cid, 3], ft[cid, 4], dirv * ft[cid, 5]]),
+          dist=con.dist[cid][None],
+          pos=con.pos[cid],
+          normal=dirv * con.frame[cid, 0],
+          tangent=dirv * con.frame[cid, 1])
+      off = slot * size
+      for name, wd in active_fields:
+        val = jnp.where(ok, vals[name].astype(dtype), 0.0)
+        out = out.at[off:off + wd].set(val)
+        off += wd
+  return sd.at[adr:adr + dim].set(out)
 
 
 def _limit_row(m, d, ctype, objid, field):
@@ -403,6 +561,8 @@ def sensor_acc(m: Model, d: Data) -> Data:
       offset = pos - d.subtree_com[m.body_rootid[body]]
       wrench = math.transform_force(d.cfrc_int[body], offset)
       sd = _write(sd, adr, mat.T @ wrench[:3])
+    elif stype == SensorType.CONTACT:
+      sd = _contact_sensor(m, d, sd, s)
     elif stype == SensorType.TOUCH:
       # sum of normal contact forces on the site's body whose contact
       # point falls inside the site volume (C mjSENS_TOUCH; sphere/box

@@ -296,6 +296,8 @@ class Option:
   iterations: int
   ls_iterations: int
   ls_parallel: bool
+  sdf_iterations: int
+  sdf_initpoints: int
   disableflags: int
   enableflags: int
   run_collision_detection: bool
@@ -339,10 +341,11 @@ _MODEL_META = (
     'tendon_structure', 'wrap_type', 'wrap_objid',
     'sensor_type', 'sensor_datatype', 'sensor_objtype', 'sensor_objid',
     'sensor_reftype', 'sensor_refid', 'sensor_adr', 'sensor_dim',
-    'sensor_needstage',
+    'sensor_needstage', 'sensor_intprm',
     # collision structure (precomputed filtered pairs, grouped by type pair)
     'nkey', 'nmesh', 'nhfield', 'hfield_nrow', 'hfield_ncol',
     'collision_pairs',   # tuple of (type1, type2, tuple[(g1, g2, pairid)])
+    'sdf_grid_of_mesh',  # meshid -> sdf grid index (-1 = none)
     'nxn_candidates',    # total candidate contact slots (static)
     'condim_max',
     'pair_dim',          # static condim per explicit <pair>
@@ -449,12 +452,14 @@ class Model:
   sensor_adr: IntTuple
   sensor_dim: IntTuple
   sensor_needstage: IntTuple
+  sensor_intprm: Tuple[Any, ...]
   nkey: int
   nmesh: int
   nhfield: int
   hfield_nrow: IntTuple
   hfield_ncol: IntTuple
   collision_pairs: Tuple[Any, ...]
+  sdf_grid_of_mesh: IntTuple
   nxn_candidates: int
   condim_max: int
   pair_dim: IntTuple
@@ -570,6 +575,10 @@ class Model:
   key_mquat: jax.Array
   # (nmesh, VMAX, 4) padded convex-hull vertices, geom frame (xyz+valid)
   mesh_hullvert: jax.Array
+  mesh_hullvert_small: jax.Array
+  mesh_faces: jax.Array
+  sdf_grids: jax.Array
+  sdf_grid_aabb: jax.Array
   # (nhfield, max_nrow, max_ncol) normalized heights + (nhfield, 4) size
   hfield_data: jax.Array
   hfield_size: jax.Array

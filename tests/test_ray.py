@@ -6,6 +6,8 @@ import numpy as np
 import mujoco_warp_tpu as mjwt
 from mujoco_warp_tpu import ray as ray_mod
 
+import jax.numpy as jnp
+
 from fixtures import fixture
 
 SCENE = """
@@ -69,3 +71,38 @@ def test_rangefinder():
   adr = mjm.sensor_adr[0]
   np.testing.assert_allclose(float(d.sensordata[adr]),
                              mjd.sensordata[adr], rtol=1e-4, atol=1e-4)
+
+
+def test_ray_mesh():
+  """Rangefinder/ray on a mesh geom vs C mj_ray (reference ray.py
+  ray_mesh)."""
+  xml = """
+  <mujoco>
+    <asset>
+      <mesh name="octa" vertex="0.12 0 0  -0.12 0 0  0 0.12 0  0 -0.12 0
+                                0 0 0.1  0 0 -0.1"/>
+    </asset>
+    <worldbody>
+      <body pos="0 0 0.5"><freejoint/>
+        <geom type="mesh" mesh="octa" mass="0.3"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = mjwt.put_model(mjm)
+  d = mjwt.make_data(m)
+  d = mjwt.fwd_position(m, d)
+  import numpy as np
+  for pnt, vec in [((0.01, 0.005, 0.0), (0, 0, 1.0)),
+                   ((0.5, 0.02, 0.45), (-1, 0, 0)),
+                   ((0.015, -0.01, 2.0), (0, 0, -1.0))]:
+    pnt = np.asarray(pnt, np.float64)
+    vec = np.asarray(vec, np.float64)
+    geomid_ref = np.zeros(1, np.int32)
+    t_ref = mujoco.mj_ray(mjm, mjd, pnt, vec, None, 1, -1, geomid_ref)
+    gid, t = ray_mod.ray(m, d, jnp.asarray(pnt, jnp.float32),
+                         jnp.asarray(vec, jnp.float32))
+    assert (int(gid) >= 0) == (geomid_ref[0] >= 0), (pnt, vec)
+    if geomid_ref[0] >= 0:
+      assert abs(float(t) - t_ref) < 1e-4, (float(t), t_ref)
