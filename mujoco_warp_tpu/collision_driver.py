@@ -77,7 +77,11 @@ def _candidate_params(m: Model, g1s: np.ndarray, g2s: np.ndarray,
           jnp.asarray(condims, dtype=jnp.int32))
 
 
-_CULL_THRESHOLD = 64
+# Cull/compaction pays per-world dynamic gathers (the slow TPU pattern —
+# see memory/tpu-perf-model): only worth it when narrowphase is
+# expensive (MPR/mesh/SDF) or the group is enormous (terrain/kitchen).
+_CULL_THRESHOLD = 64          # groups with costly colliders
+_CULL_THRESHOLD_CHEAP = 2048  # pure-primitive groups
 
 
 def _cull_k(nconmax: int, n: int) -> int:
@@ -198,7 +202,9 @@ def collision(m: Model, d: Data) -> Data:
     needs_margin = is_mpr or (t1, t2) in collision_primitive.NEEDS_MARGIN
     margin_arr = params[4]
 
-    cull = len(glist) > _CULL_THRESHOLD and t1 != GeomType.PLANE
+    threshold = (_CULL_THRESHOLD if (is_mpr or needs_verts)
+                 else _CULL_THRESHOLD_CHEAP)
+    cull = len(glist) > threshold and t1 != GeomType.PLANE
     if cull:
       # bounding-sphere cull + closest-K compaction
       c1 = d.geom_xpos[g1s]

@@ -159,9 +159,45 @@ def hfield_collider(m: Model, hid: int, nrow: int, ncol: int, t2: int):
       frame = jnp.concatenate([o[2] for o in outs])
       _, idx = jax.lax.top_k(-dist, _NCONH)
       return dist[idx], pos[idx], frame[idx]
-    if t2 in (GeomType.BOX, GeomType.ELLIPSOID, GeomType.CYLINDER):
-      # v1: bounding-sphere approximation for other convex geoms
-      r = jnp.min(s2[:3]) if t2 == GeomType.BOX else jnp.min(s2[:2])
+    if t2 == GeomType.BOX:
+      # corner sampling: each box corner as a zero-radius sphere (the
+      # contact points of a box on mostly-smooth terrain are corners;
+      # reference box-on-hfield clips box faces per cell — corner
+      # sampling is the vectorized first-order version)
+      outs = []
+      for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+          for sz in (-1.0, 1.0):
+            corner = p2 + m2 @ (s2[:3] * jnp.asarray(
+                [sx, sy, sz], p2.dtype))
+            outs.append(sphere_hfield(m, hid, nrow, ncol, p1, m1, s1,
+                                      corner, jnp.zeros((), p2.dtype)))
+      dist = jnp.concatenate([o[0] for o in outs])
+      pos = jnp.concatenate([o[1] for o in outs])
+      frame = jnp.concatenate([o[2] for o in outs])
+      _, idx = jax.lax.top_k(-dist, _NCONH)
+      return dist[idx], pos[idx], frame[idx]
+    if t2 == GeomType.CYLINDER:
+      # rim + face-center sampling
+      axis = m2[:, 2] * s2[1]
+      outs = []
+      for e in (-1.0, 1.0):
+        outs.append(sphere_hfield(m, hid, nrow, ncol, p1, m1, s1,
+                                  p2 + e * axis, jnp.zeros((), p2.dtype)))
+        for k in range(4):
+          ang = 2.0 * jnp.pi * k / 4
+          rim = (p2 + e * axis + m2[:, 0] * s2[0] * jnp.cos(ang) +
+                 m2[:, 1] * s2[0] * jnp.sin(ang))
+          outs.append(sphere_hfield(m, hid, nrow, ncol, p1, m1, s1, rim,
+                                    jnp.zeros((), p2.dtype)))
+      dist = jnp.concatenate([o[0] for o in outs])
+      pos = jnp.concatenate([o[1] for o in outs])
+      frame = jnp.concatenate([o[2] for o in outs])
+      _, idx = jax.lax.top_k(-dist, _NCONH)
+      return dist[idx], pos[idx], frame[idx]
+    if t2 == GeomType.ELLIPSOID:
+      # inscribed-sphere approximation
+      r = jnp.min(s2[:3])
       return sphere_hfield(m, hid, nrow, ncol, p1, m1, s1, p2, r)
     raise NotImplementedError(f'hfield vs geom type {t2}')
 

@@ -543,7 +543,8 @@ def _smooth_mega_kernel(m: Model, qpos_ref, qvel_ref, bp_ref, bq_ref,
 
 
 def smooth_mega_batched(m: Model, qpos: jax.Array, qvel: jax.Array,
-                        mocap_pos=None, mocap_quat=None):
+                        mocap_pos=None, mocap_quat=None,
+                        interpret: bool = False):
   """qpos (W, nq), qvel (W, nv) -> dict of every smooth-stage product:
   position stage (xpos..qM, all frames) AND velocity stage (cvel,
   cdof_dot, cacc, qfrc_bias). One pallas_call, worlds in lanes."""
@@ -581,6 +582,7 @@ def smooth_mega_batched(m: Model, qpos: jax.Array, qvel: jax.Array,
   outs = pl.pallas_call(
       kernel,
       grid=(wpad // LANES,),
+      interpret=interpret,
       in_specs=[
           lane2(nq), lane2(nv), const((3, nb)), const((4, nb)),
           const((3, nj)), const((3, nj)), const((nq, 1)),

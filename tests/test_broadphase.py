@@ -41,18 +41,21 @@ def test_cull_matches_full():
   xml = _grid_spheres()
   mjm = mujoco.MjModel.from_xml_string(xml)
   m = mjwt.put_model(mjm)
-  assert any(len(gl) > collision_driver._CULL_THRESHOLD
+  assert any(len(gl) > collision_driver._CULL_THRESHOLD_CHEAP
              for _, _, gl in m.collision_pairs)
   d = mjwt.make_data(m, nconmax=16)
 
   d_cull = collision_driver.collision(m, mjwt.smooth.kinematics(m, d))
 
-  orig = collision_driver._CULL_THRESHOLD
+  orig = (collision_driver._CULL_THRESHOLD,
+          collision_driver._CULL_THRESHOLD_CHEAP)
   collision_driver._CULL_THRESHOLD = 10 ** 9
+  collision_driver._CULL_THRESHOLD_CHEAP = 10 ** 9
   try:
     d_full = collision_driver.collision(m, mjwt.smooth.kinematics(m, d))
   finally:
-    collision_driver._CULL_THRESHOLD = orig
+    (collision_driver._CULL_THRESHOLD,
+     collision_driver._CULL_THRESHOLD_CHEAP) = orig
 
   dist_c, pos_c = _contact_set(d_cull)
   dist_f, pos_f = _contact_set(d_full)

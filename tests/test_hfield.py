@@ -75,3 +75,40 @@ def test_hfield_contact_exists():
     ours = np.min(np.asarray(d.contact.dist)[:int(d.ncon)])
     ref = np.min(mjd.contact.dist)
     np.testing.assert_allclose(ours, ref, atol=3e-3)
+
+
+BOX_HFIELD = """
+<mujoco>
+  <option timestep="0.002"/>
+  <asset>
+    <hfield name="flat" nrow="9" ncol="9" size="1 1 0.2 0.1"/>
+  </asset>
+  <worldbody>
+    <geom type="hfield" hfield="flat"/>
+    <body pos="0 0 0.35">
+      <freejoint/>
+      <geom type="box" size="0.1 0.08 0.06" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_box_on_hfield_rest():
+  """Box settles on the heightfield at the C oracle's rest height
+  (corner-sampled narrowphase)."""
+  import jax
+  import jax.numpy as jnp
+  mjm = mujoco.MjModel.from_xml_string(BOX_HFIELD)
+  # flat plateau at mid height
+  mjm.hfield_data[:] = 0.5
+  mjd = mujoco.MjData(mjm)
+  m = mjwt.put_model(mjm)
+  d = mjwt.make_data(m, nconmax=8)
+  step = jax.jit(lambda dd: mjwt.step(m, dd))
+  for _ in range(250):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+  z = float(d.qpos[2])
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  assert abs(z - mjd.qpos[2]) < 5e-3, (z, mjd.qpos[2])
