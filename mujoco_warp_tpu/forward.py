@@ -448,9 +448,17 @@ def forward_batched(m: Model, d: Data) -> Data:
     if m.ntendon:
       d = vm(smooth.tendon)(d)
       d = vm(smooth.tendon_armature)(d)
-    if m.opt.run_collision_detection:
-      d = vm(collision_driver.collision)(d)
-    d = vm(constraint.make_constraint)(d)
+    from .pallas import contact_kernels
+    nconmax = d.contact.dist.shape[-1]
+    if (m.opt.run_collision_detection and nconmax > 0 and
+        contact_kernels.supports(m, d)):
+      # collision + constraint assembly fused into one Pallas kernel
+      kernel, meta = contact_kernels.make_contact_kernel(m, nconmax)
+      d = contact_kernels.contact_efc(m, d, kernel, meta)
+    else:
+      if m.opt.run_collision_detection:
+        d = vm(collision_driver.collision)(d)
+      d = vm(constraint.make_constraint)(d)
     d = vm(smooth.transmission)(d)
     d = vm(sensor_mod.sensor_pos)(d)
     # velocity stage: tree math (com_vel/rne) already done in the mega
