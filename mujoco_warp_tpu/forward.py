@@ -488,10 +488,15 @@ def forward_batched(m: Model, d: Data) -> Data:
 def _euler_batched(m: Model, d: Data) -> Data:
   qacc = d.qacc
   if m.has_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
-    damp = jnp.diag(m.opt.timestep * m.dof_damping)
-    mh = d.qM + damp[None]
-    qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = solver_mod.spd_solve(m, mh, qfrc)
+    if (solver_mod.uses_fused_kernel(m, d) and
+        m.opt.integrator == IntegratorType.EULER):
+      # the fused Newton kernel already solved (qM + h diag(B)) qacc'
+      qacc = d.qacc_euler
+    else:
+      damp = jnp.diag(m.opt.timestep * m.dof_damping)
+      mh = d.qM + damp[None]
+      qfrc = d.qfrc_smooth + d.qfrc_constraint
+      qacc = solver_mod.spd_solve(m, mh, qfrc)
   return jax.vmap(lambda dd, qa: _advance(m, dd, dd.act_dot, qa))(d, qacc)
 
 

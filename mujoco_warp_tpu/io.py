@@ -938,7 +938,7 @@ def make_data(m: Model, nconmax: int | None = None,
       ten_velocity=z(m.ntendon),
       qfrc_spring=z(nv), qfrc_damper=z(nv), qfrc_gravcomp=z(nv),
       qfrc_fluid=z(nv), qfrc_passive=z(nv), qfrc_bias=z(nv),
-      qfrc_actuator=z(nv), qfrc_smooth=z(nv), qacc_smooth=z(nv),
+      qfrc_actuator=z(nv), qfrc_smooth=z(nv), qacc_smooth=z(nv), qacc_euler=z(nv),
       qfrc_constraint=z(nv), qfrc_inverse=z(nv), qacc=z(nv),
       contact=contact,
       efc_type=zi(njmax_actual), efc_id=zi(njmax_actual),

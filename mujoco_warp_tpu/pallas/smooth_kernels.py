@@ -326,18 +326,24 @@ def _crb_kernel(m: Model, cinert_ref, cdof_ref, arm_ref,
     if p != 0:
       crb_ref[p] = crb_ref[p] + crb_ref[b]
 
-  # dense qM: zero all rows, then fill ancestor-chain entries
-  for i in range(m.nv):
-    qm_ref[i] = jnp.zeros((m.nv, L), dt)
+  # dense qM: compute ancestor-chain entries as values, then ONE
+  # contiguous (nv, L) write per row (per-element strided writes were
+  # the kernel's hot spot — 784 of them per block at nv=28)
+  vals = {}
   for i in range(m.nv):
     buf = _inert_mul(crb_ref[m.dof_bodyid[i]], cdof_ref[i])  # (6, L)
     for j in m.dof_ancestor_rows[i]:
       val = jnp.sum(buf * cdof_ref[j], axis=0, keepdims=True)
       if j == i:
         val = val + arm_ref[0, i]
-      qm_ref[i, j] = val[0]
-      if j != i:
-        qm_ref[j, i] = val[0]
+      vals[(i, j)] = val
+  zrow = jnp.zeros((1, L), dt)
+  for i in range(m.nv):
+    pieces = []
+    for j in range(m.nv):
+      v = vals.get((i, j)) if j <= i else vals.get((j, i))
+      pieces.append(v if v is not None else zrow)
+    qm_ref[i] = jnp.concatenate(pieces, axis=0)
 
 
 @jax.jit

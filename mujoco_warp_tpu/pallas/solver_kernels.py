@@ -64,13 +64,14 @@ def _chol_solve(nv, cols, b):
 
 
 def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
-                   qfs_ref, ws_ref, qacc_ref, qfc_ref, force_ref,
-                   niter_ref, qaccs_ref, qld_ref, h_scr, jd_scr,
-                   ma_scr, jaref_scr, search_scr, cost_scr, done_scr):
+                   qfs_ref, ws_ref, hb_ref, qacc_ref, qfc_ref, force_ref,
+                   niter_ref, qaccs_ref, qld_ref, qacce_ref, h_scr,
+                   jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
+                   done_scr):
   """J layout is (nv, nj, L): every hot read — J rows, qM rows, H rows —
   is a contiguous leading-dim slice. Strided middle-dim indexing and
   per-element writes measured ~100x slower in Mosaic."""
-  (nv, nj, ne, nf, iterations, ls_k, use_ws) = cfg
+  (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp) = cfg
   L = qfs_ref.shape[-1]
   dt = jnp.float32
 
@@ -253,17 +254,36 @@ def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   jax.lax.while_loop(lambda go: go, body, ~jnp.all(done))
 
   force, _, _ = update_constraint(jaref_scr[...])
-  qfc_ref[...] = matvec_jt(force)
+  qfc = matvec_jt(force)
+  qfc_ref[...] = qfc
   force_ref[...] = force
+
+  if euler_damp:
+    # semi-implicit Euler damping solve folded in (reference
+    # forward.py:327 mj_Euler): (qM + h diag(B)) qacc' = qfrc_smooth +
+    # qfrc_constraint, reusing the resident qM rows
+    def row_with_diag(i):
+      row = qm_ref[i]
+      parts = []
+      if i > 0:
+        parts.append(row[:i])
+      parts.append(row[i:i + 1] + hb_ref[i, 0])
+      if i < nv - 1:
+        parts.append(row[i + 1:])
+      return jnp.concatenate(parts, axis=0)
+    cols_e = _chol_cols(nv, row_with_diag)
+    qacce_ref[...] = _chol_solve(nv, cols_e, qfs + qfc)
+  else:
+    qacce_ref[...] = qacc_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=('ne', 'nf', 'iterations',
                                              'ls_k', 'use_ws',
-                                             'interpret'))
+                                             'interpret', 'euler_damp'))
 def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
-                         warmstart, tolerance, meaninertia, *, ne, nf,
-                         iterations, ls_k=10, use_ws=True,
-                         interpret=False):
+                         warmstart, tolerance, meaninertia, hb=None, *,
+                         ne, nf, iterations, ls_k=10, use_ws=True,
+                         interpret=False, euler_damp=False):
   """Batched Newton solve. All inputs (W, ...) batch-first; returns
   (qacc, qfrc_constraint, efc_force, niter, qacc_smooth, qLD)."""
   W, nj, nv = efc_j.shape
@@ -284,7 +304,9 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
   params = jnp.stack([tolerance.astype(dt).reshape(()),
                       meaninertia.astype(dt).reshape(())])[:, None]
 
-  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws)
+  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp)
+  if hb is None:
+    hb = jnp.zeros((nv,), dt)
   kernel = functools.partial(_newton_kernel, cfg)
   vm = pltpu.VMEM
   lane2 = lambda a: pl.BlockSpec((a, LANES), lambda i: (0, i),
@@ -299,11 +321,12 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
           pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=vm),
           lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj), lane2(nj),
           lane2(nv), lane2(nv),
+          pl.BlockSpec((nv, 1), lambda i: (0, 0), memory_space=vm),
       ],
       out_specs=[lane2(nv), lane2(nv), lane2(nj),
                  pl.BlockSpec((1, LANES), lambda i: (0, i),
                               memory_space=vm),
-                 lane2(nv), lane3(nv, nv)],
+                 lane2(nv), lane3(nv, nv), lane2(nv)],
       out_shape=[
           jax.ShapeDtypeStruct((nv, wpad), dt),
           jax.ShapeDtypeStruct((nv, wpad), dt),
@@ -311,6 +334,7 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
           jax.ShapeDtypeStruct((1, wpad), jnp.int32),
           jax.ShapeDtypeStruct((nv, wpad), dt),
           jax.ShapeDtypeStruct((nv, nv, wpad), dt),
+          jax.ShapeDtypeStruct((nv, wpad), dt),
       ],
       scratch_shapes=[pltpu.VMEM((nv, nv, LANES), jnp.float32),
                       pltpu.VMEM((nv, nj, LANES), jnp.float32),
@@ -320,8 +344,9 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
                       pltpu.VMEM((1, LANES), jnp.float32),
                       pltpu.VMEM((1, LANES), jnp.float32)],
   )(params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
-    bl(efc_aref), bl(efc_fl), bl(qfrc_smooth), bl(warmstart))
+    bl(efc_aref), bl(efc_fl), bl(qfrc_smooth), bl(warmstart),
+    hb.astype(dt)[:, None])
   t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
-  qacc, qfc, force, niter, qacc_smooth, qld = outs
+  qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = outs
   return (t2(qacc), t2(qfc), t2(force), t2(niter)[:, 0], t2(qacc_smooth),
-          t2(qld))
+          t2(qld), t2(qacc_euler))

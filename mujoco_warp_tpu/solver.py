@@ -523,18 +523,24 @@ def solve(m: Model, d: Data) -> Data:
   if uses_fused_kernel(m, d):
     from . import io as io_mod
     from .pallas import solver_kernels
+    from .types import IntegratorType
     nconmax = d.contact.dist.shape[-1]
     ne, nf, nl, stride, _ = io_mod.efc_layout(m, nconmax)
     use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
-    qacc, qfc, force, niter, qacc_smooth, qld = (
+    euler_damp = (m.opt.integrator == IntegratorType.EULER and
+                  m.has_damping and
+                  not (m.opt.disableflags & DisableBit.EULERDAMP))
+    hb = (m.opt.timestep * m.dof_damping) if euler_damp else None
+    qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = (
         solver_kernels.newton_solve_batched(
             d.qM, d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
             d.qfrc_smooth, d.qacc_warmstart, m.opt.tolerance,
-            m.stat.meaninertia, ne=ne, nf=nf,
-            iterations=m.opt.iterations, use_ws=use_ws))
+            m.stat.meaninertia, hb, ne=ne, nf=nf,
+            iterations=m.opt.iterations, use_ws=use_ws,
+            euler_damp=euler_damp))
     return d.replace(qacc=qacc, qfrc_constraint=qfc, efc_force=force,
                      solver_niter=niter, qacc_smooth=qacc_smooth,
-                     qLD=qld)
+                     qLD=qld, qacc_euler=qacc_euler)
 
   if m.opt.disableflags & DisableBit.WARMSTART:
     qacc = d.qacc_smooth

@@ -698,6 +698,7 @@ class Data:
   qfrc_actuator: jax.Array
   qfrc_smooth: jax.Array
   qacc_smooth: jax.Array
+  qacc_euler: jax.Array
   qfrc_constraint: jax.Array
   qfrc_inverse: jax.Array
   qacc: jax.Array

@@ -30,7 +30,7 @@ def test_solver_kernel_interpret_smoke():
   out = solver_kernels.newton_solve_batched(
       qm, J, D, aref, fl, qfs, ws, jnp.float32(1e-8), jnp.float32(1.0),
       ne=0, nf=0, iterations=30, interpret=True)
-  qacc, qfc, force, niter, qacc_smooth, qld = out
+  qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = out
   ref = np.linalg.solve(np.asarray(qm), np.asarray(qfs)[..., None])[..., 0]
   np.testing.assert_allclose(np.asarray(qacc_smooth), ref, atol=2e-5)
   assert np.isfinite(np.asarray(qacc)).all()
