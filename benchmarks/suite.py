@@ -52,7 +52,8 @@ def run_config(name: str, cfg: dict, nworld: int | None = None,
   import mujoco_warp_tpu as mjwt
   from mujoco_warp_tpu import io as io_mod
   from mujoco_warp_tpu import parallel
-  from mujoco_warp_tpu.utils import benchmark as bench_mod
+  import importlib
+  bench_mod = importlib.import_module('mujoco_warp_tpu.utils.benchmark')
 
   nworld = nworld or int(os.environ.get('BENCH_NWORLD', cfg['nworld']))
   nstep = nstep or int(os.environ.get('BENCH_NSTEP', cfg['nstep']))

@@ -157,7 +157,9 @@ def hfield_collider(m: Model, hid: int, nrow: int, ncol: int, t2: int):
       dist = jnp.concatenate([o[0] for o in outs])
       pos = jnp.concatenate([o[1] for o in outs])
       frame = jnp.concatenate([o[2] for o in outs])
-      _, idx = jax.lax.top_k(-dist, _NCONH)
+      # nearest-to-surface selection: buried sample points sit 'below' far
+      # triangles too, which report spuriously deep distances
+      _, idx = jax.lax.top_k(-jnp.abs(dist), _NCONH)
       return dist[idx], pos[idx], frame[idx]
     if t2 == GeomType.BOX:
       # corner sampling: each box corner as a zero-radius sphere (the
@@ -175,7 +177,9 @@ def hfield_collider(m: Model, hid: int, nrow: int, ncol: int, t2: int):
       dist = jnp.concatenate([o[0] for o in outs])
       pos = jnp.concatenate([o[1] for o in outs])
       frame = jnp.concatenate([o[2] for o in outs])
-      _, idx = jax.lax.top_k(-dist, _NCONH)
+      # nearest-to-surface selection: buried sample points sit 'below' far
+      # triangles too, which report spuriously deep distances
+      _, idx = jax.lax.top_k(-jnp.abs(dist), _NCONH)
       return dist[idx], pos[idx], frame[idx]
     if t2 == GeomType.CYLINDER:
       # rim + face-center sampling
@@ -193,7 +197,9 @@ def hfield_collider(m: Model, hid: int, nrow: int, ncol: int, t2: int):
       dist = jnp.concatenate([o[0] for o in outs])
       pos = jnp.concatenate([o[1] for o in outs])
       frame = jnp.concatenate([o[2] for o in outs])
-      _, idx = jax.lax.top_k(-dist, _NCONH)
+      # nearest-to-surface selection: buried sample points sit 'below' far
+      # triangles too, which report spuriously deep distances
+      _, idx = jax.lax.top_k(-jnp.abs(dist), _NCONH)
       return dist[idx], pos[idx], frame[idx]
     if t2 == GeomType.ELLIPSOID:
       # inscribed-sphere approximation

@@ -59,6 +59,12 @@ def supports(m: Model, d) -> bool:
   for t1, t2, _ in m.collision_pairs:
     if (t1, t2) not in _SUPPORTED:
       return False
+  # Mosaic compile time scales with the unrolled candidate x slot work;
+  # past this budget the XLA path compiles faster than the kernel
+  ncand = sum(len(gl) * 2 for _, _, gl in m.collision_pairs)
+  nconmax = d.contact.dist.shape[-1]
+  if ncand > 512 or nconmax > 48 or m.nv > 64:
+    return False
   return True
 
 
