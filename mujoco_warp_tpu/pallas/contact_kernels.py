@@ -568,7 +568,7 @@ def _lim_tab(m: Model, meta) -> jax.Array:
   return jnp.stack(rows)
 
 
-def contact_efc(m: Model, d, kernel, meta):
+def contact_efc(m: Model, d, kernel, meta, interpret=False):
   """Run the contact megakernel over the batch; returns updated Data."""
   W = d.qpos.shape[0]
   wpad = -(-W // LANES) * LANES
@@ -632,6 +632,7 @@ def contact_efc(m: Model, d, kernel, meta):
   outs = pl.pallas_call(
       kernel,
       grid=(wpad // LANES,),
+      interpret=interpret,
       in_specs=in_specs,
       out_specs=out_specs,
       out_shape=out_shape,
