@@ -32,6 +32,21 @@ _ROTMORE[4, 0, 0], _ROTMORE[4, 1, 2], _ROTMORE[4, 2, 1] = 1, 1, -1
 _ROTMORE[5, 0, 0], _ROTMORE[5, 1, 1], _ROTMORE[5, 2, 2] = -1, 1, -1
 
 
+
+def _sel3(idx, a, b, c):
+  """Static 3-way select by a traced index in {0,1,2} — compiles to two
+  selects instead of a per-world gather (gathers along the lane axis
+  are the slow TPU pattern)."""
+  return jnp.where(idx == 0, a, jnp.where(idx == 1, b, c))
+
+
+def _sel6(idx, xs):
+  out = xs[5]
+  for k in range(4, -1, -1):
+    out = jnp.where(idx == k, xs[k], out)
+  return out
+
+
 def _sat(pos21, pos12, rot21, rot21abs, s1, s2, margin):
   """Separating-axis scan in C's exact candidate order/semantics.
   Returns (fail, axis_code, clnorm, inv, cle1, cle2)."""
@@ -115,7 +130,8 @@ def _face_case(axis_code, pos21, pos12, rot21, p1, m1, s1, p2, m2, s2,
   rot12 = rot21.T
   face_idx = jnp.clip(axis_code, 0, 11) % 6
   box_idx = jnp.clip(axis_code, 0, 11) // 6
-  rotmore = jnp.asarray(_ROTMORE, dtype)[face_idx]
+  rotmore = _sel6(face_idx, [jnp.asarray(_ROTMORE[k], dtype)
+                             for k in range(6)])
   bi = box_idx.astype(bool)
 
   r = rotmore @ jnp.where(bi, rot12, rot21)
@@ -214,17 +230,22 @@ def _edge_case(axis_code, pos21, rot21, rot21abs, clnorm, inv, cle1, cle2,
 
   ax1 = 1 - (edge2 & 1)
   ax2 = 2 - (edge2 & 2)
-  swap2 = jnp.take(rot21abs[edge1], ax1) < jnp.take(rot21abs[edge1], ax2)
+  r21_e1 = _sel3(edge1, rot21abs[0], rot21abs[1], rot21abs[2])  # (3,)
+  swap2 = _sel3(ax1, r21_e1[0], r21_e1[1], r21_e1[2]) < _sel3(
+      ax2, r21_e1[0], r21_e1[1], r21_e1[2])
   ax1, ax2 = (jnp.where(swap2, ax2, ax1), jnp.where(swap2, ax1, ax2))
 
   pax1 = 1 - (edge1 & 1)
   pax2 = 2 - (edge1 & 2)
-  swap1 = jnp.take(rot12abs[edge2], pax1) < jnp.take(rot12abs[edge2], pax2)
+  r12_e2 = _sel3(edge2, rot12abs[0], rot12abs[1], rot12abs[2])
+  swap1 = _sel3(pax1, r12_e2[0], r12_e2[1], r12_e2[2]) < _sel3(
+      pax2, r12_e2[0], r12_e2[1], r12_e2[2])
   pax1, pax2 = (jnp.where(swap1, pax2, pax1), jnp.where(swap1, pax1, pax2))
 
   bit1 = (cle1 >> pax2) & 1
-  rotmore = jnp.asarray(_ROTMORE, dtype)[
-      jnp.where(bit1.astype(bool), pax2, pax2 + 3)]
+  rm_idx = jnp.where(bit1.astype(bool), pax2, pax2 + 3)
+  rotmore = _sel6(rm_idx, [jnp.asarray(_ROTMORE[k], dtype)
+                           for k in range(6)])
 
   p = rotmore @ pos21
   rnorm = rotmore @ clnorm
@@ -236,12 +257,12 @@ def _edge_case(axis_code, pos21, rot21, rot21abs, clnorm, inv, cle1, cle2,
 
   sgn = lambda bits, a: jnp.where(((bits >> a) & 1).astype(bool), 1.0,
                                   -1.0)
-  rt_ax1 = jnp.take(rt, ax1, axis=0)
-  rt_ax2 = jnp.take(rt, ax2, axis=0)
-  rt_e2 = jnp.take(rt, edge2, axis=0)
-  s2_ax1 = jnp.take(s2, ax1)
-  s2_ax2 = jnp.take(s2, ax2)
-  s2_e2 = jnp.take(s2, edge2)
+  rt_ax1 = _sel3(ax1, rt[0], rt[1], rt[2])
+  rt_ax2 = _sel3(ax2, rt[0], rt[1], rt[2])
+  rt_e2 = _sel3(edge2, rt[0], rt[1], rt[2])
+  s2_ax1 = _sel3(ax1, s2[0], s2[1], s2[2])
+  s2_ax2 = _sel3(ax2, s2[0], s2[1], s2[2])
+  s2_e2 = _sel3(edge2, s2[0], s2[1], s2[2])
 
   pt0 = p + rt_ax1 * s2_ax1 * sgn(cle2, ax1) + rt_ax2 * s2_ax2 * sgn(
       cle2, ax2)
