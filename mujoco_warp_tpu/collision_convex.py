@@ -134,98 +134,106 @@ def mpr(t1: int, t2: int):
     v0 = jnp.where(math.norm(v0) < 1e-10,
                    jnp.array([1e-5, 0, 0], dtype), v0)
 
-    # phase 2: initial portal (3 supports)
-    d1 = -v0
-    w1, a1, b1 = S(math.normalize(d1))
+    # phase 2: initial portal — canonical XenoCollide/libccd-MPR
+    # structure (reference behavior: mujoco_warp/_src/collision_gjk.py
+    # gjk/epa; C mjc_Convex). The portal triangle (w1, w2, w3) is kept
+    # wound so that cross(w2-w1, w3-w1) points OUTWARD (away from v0)
+    # by construction — no flip heuristics (orienting by dot(n, v0)
+    # breaks when v0 is nearly parallel to the portal plane and walks
+    # the portal to the far face of the CSO, reporting ~0.65 m fake
+    # penetrations for cleanly separated mesh pairs). Every `miss`
+    # condition below is a sound separating-axis witness.
+    d1 = math.normalize(-v0)
+    w1, a1, b1 = S(d1)
+    miss = jnp.dot(w1, d1) < 0          # SA: CSO cannot reach origin
     d2 = jnp.cross(v0, w1)
     d2n = math.norm(d2)
-    # v0 through origin colinear with w1 -> any perpendicular
+    # v0 colinear with w1 through the origin -> any perpendicular
     d2 = jnp.where(d2n < 1e-10, math.normalize(
         jnp.cross(v0, jnp.array([0.57, 0.62, 0.53], dtype))),
         d2 / jnp.where(d2n < 1e-10, 1.0, d2n))
     w2, a2, b2 = S(d2)
+    miss |= jnp.dot(w2, d2) < 0
     d3 = jnp.cross(w1 - v0, w2 - v0)
-    d3 = math.normalize(d3)
-    # orient portal normal away from v0
-    flip = jnp.dot(d3, v0) > 0
-    d3 = jnp.where(flip, -d3, d3)
+    # origin must be on the -d3 side: swap w1/w2 to fix the winding
+    swap = jnp.dot(d3, v0) > 0
+    w1, w2 = jnp.where(swap, w2, w1), jnp.where(swap, w1, w2)
+    a1, a2 = jnp.where(swap, a2, a1), jnp.where(swap, a1, a2)
+    b1, b2 = jnp.where(swap, b2, b1), jnp.where(swap, b1, b2)
+    d3 = math.normalize(jnp.where(swap, -d3, d3))
     w3, a3, b3 = S(d3)
 
-    # portal candidate discovery loop: ensure origin ray (from v0 toward
-    # origin) passes through portal triangle (w1, w2, w3); swap supports
-    # until it does (fixed iterations, masked)
+    # portal discovery: rotate the candidate portal about the origin ray
+    # until the ray v0->O passes through triangle (w1, w2, w3). Fixed
+    # iterations with masked updates; each samples ONE fresh support.
     def disc_body(_, state):
-      w1, a1, b1, w2, a2, b2, w3, a3, b3 = state
-      # does ray v0->origin pass inside plane (v0, w1, w2) etc.
-      n12 = jnp.cross(w1 - v0, w2 - v0)
-      n23 = jnp.cross(w2 - v0, w3 - v0)
-      n31 = jnp.cross(w3 - v0, w1 - v0)
-      out12 = jnp.dot(n12, -v0) < 0
-      out23 = jnp.dot(n23, -v0) < 0
-      out31 = jnp.dot(n31, -v0) < 0
-      # replace the vertex opposite the violated plane with a fresh
-      # support in that plane's (corrected) normal
-      def repl(n, wo, ao, bo):
-        d = math.normalize(n)
-        w, a, b = S(d)
-        return w, a, b
-      w3n, a3n, b3n = repl(-n12, w3, a3, b3)
-      w1n, a1n, b1n = repl(-n23, w1, a1, b1)
-      w2n, a2n, b2n = repl(-n31, w2, a2, b2)
-      sel = lambda c, x, y: jnp.where(c, x, y)
-      # at most one swap per iteration (priority 12 > 23 > 31)
-      u12 = out12
-      u23 = out23 & ~out12
-      u31 = out31 & ~out12 & ~out23
-      w3 = sel(u12, w3n, w3); a3 = sel(u12, a3n, a3); b3 = sel(u12, b3n, b3)
-      w1 = sel(u23, w1n, w1); a1 = sel(u23, a1n, a1); b1 = sel(u23, b1n, b1)
-      w2 = sel(u31, w2n, w2); a2 = sel(u31, a2n, a2); b2 = sel(u31, b2n, b2)
-      return (w1, a1, b1, w2, a2, b2, w3, a3, b3)
-
-    state = (w1, a1, b1, w2, a2, b2, w3, a3, b3)
-    state = jax.lax.fori_loop(0, 8, disc_body, state)
-    w1, a1, b1, w2, a2, b2, w3, a3, b3 = state
-
-    # phase 3: portal refinement toward the origin
-    def ref_body(_, state):
-      w1, a1, b1, w2, a2, b2, w3, a3, b3, done = state
-      n = jnp.cross(w2 - w1, w3 - w1)
-      n = math.normalize(n)
-      n = jnp.where(jnp.dot(n, v0) > 0, -n, n)  # outward (away from v0)
-      w4, a4, b4 = S(n)
-      # convergence: new support barely past the portal plane
-      prog = jnp.dot(n, w4 - w1)
-      new_done = done | (prog < _TOL)
-      # canonical XenoCollide portal update: pick the sub-portal that
-      # still contains the v0->origin ray, replacing one vertex with w4
-      c41 = jnp.dot(jnp.cross(w4, w1), v0)
-      c42 = jnp.dot(jnp.cross(w4, w2), v0)
-      c43 = jnp.dot(jnp.cross(w4, w3), v0)
-      repl1 = ((c41 < 0) & (c42 < 0)) | ((c41 >= 0) & (c43 >= 0))
-      repl3 = (c41 < 0) & (c42 >= 0)
-      repl2 = (c41 >= 0) & (c43 < 0)
-      sel = lambda c, x, y: jnp.where(c & ~done, x, y)
-      w1n = sel(repl1, w4, w1); a1n = sel(repl1, a4, a1)
-      b1n = sel(repl1, b4, b1)
-      w2n = sel(repl2, w4, w2); a2n = sel(repl2, a4, a2)
-      b2n = sel(repl2, b4, b2)
-      w3n = sel(repl3, w4, w3); a3n = sel(repl3, a4, a3)
-      b3n = sel(repl3, b4, b3)
-      return (w1n, a1n, b1n, w2n, a2n, b2n, w3n, a3n, b3n, new_done)
+      (w1, a1, b1, w2, a2, b2, w3, a3, b3, dirn, miss, done) = state
+      w3n, a3n, b3n = S(dirn)
+      miss_i = jnp.dot(w3n, dirn) < 0
+      # origin outside plane (v0, w1, w3n): w2 := w3n, re-aim, continue
+      cA = jnp.dot(jnp.cross(w1, w3n), v0) < 0
+      # origin outside plane (v0, w3n, w2): w1 := w3n, re-aim, continue
+      cB = ~cA & (jnp.dot(jnp.cross(w3n, w2), v0) < 0)
+      fin = ~cA & ~cB                    # ray inside: portal complete
+      upd = ~done & ~miss_i
+      sel = lambda c, x, y: jnp.where(c & upd, x, y)
+      w2_, a2_, b2_ = sel(cA, w3n, w2), sel(cA, a3n, a2), sel(cA, b3n, b2)
+      w1_, a1_, b1_ = sel(cB, w3n, w1), sel(cB, a3n, a1), sel(cB, b3n, b1)
+      w3_ = jnp.where(upd, w3n, w3)
+      a3_ = jnp.where(upd, a3n, a3)
+      b3_ = jnp.where(upd, b3n, b3)
+      dir_a = math.normalize(jnp.cross(w1_ - v0, w3n - v0))
+      dir_b = math.normalize(jnp.cross(w3n - v0, w2_ - v0))
+      dirn_ = jnp.where(cA & upd, dir_a,
+                        jnp.where(cB & upd, dir_b, dirn))
+      miss_ = miss | (miss_i & ~done)
+      done_ = done | miss_i | (fin & ~done)
+      return (w1_, a1_, b1_, w2_, a2_, b2_, w3_, a3_, b3_, dirn_,
+              miss_, done_)
 
     done0 = jnp.zeros((), bool)
-    state = (w1, a1, b1, w2, a2, b2, w3, a3, b3, done0)
-    state = jax.lax.fori_loop(0, _MPR_ITERATIONS, ref_body, state)
-    w1, a1, b1, w2, a2, b2, w3, a3, b3, _ = state
+    state = (w1, a1, b1, w2, a2, b2, w3, a3, b3, d3, miss, done0)
+    state = jax.lax.fori_loop(0, 12, disc_body, state)
+    w1, a1, b1, w2, a2, b2, w3, a3, b3, _, miss, _ = state
 
-    # final portal plane
-    n = jnp.cross(w2 - w1, w3 - w1)
-    n = math.normalize(n)
-    n = jnp.where(jnp.dot(n, v0) > 0, -n, n)
+    # phase 3: portal refinement toward the origin. The expandPortal
+    # update keeps the outward winding invariant (libccd expandPortal).
+    def ref_body(_, state):
+      w1, a1, b1, w2, a2, b2, w3, a3, b3, miss, done = state
+      n = math.normalize(jnp.cross(w2 - w1, w3 - w1))   # outward
+      w4, a4, b4 = S(n)
+      sep = jnp.dot(w4, n) < 0          # SA: separated along n
+      prog = jnp.dot(n, w4 - w3)
+      new_done = done | sep | (prog < _TOL)
+      miss = miss | (sep & ~done)
+      # choose the sub-portal that still contains the v0->origin ray
+      v4v0 = jnp.cross(w4, v0)
+      e1 = jnp.dot(w1, v4v0) > 0
+      e2 = jnp.dot(w2, v4v0) > 0
+      e3 = jnp.dot(w3, v4v0) > 0
+      r1 = (e1 & e2) | (~e1 & ~e3)
+      r2 = ~e1 & e3
+      r3 = e1 & ~e2
+      sel = lambda c, x, y: jnp.where(c & ~new_done, x, y)
+      w1n = sel(r1, w4, w1); a1n = sel(r1, a4, a1); b1n = sel(r1, b4, b1)
+      w2n = sel(r2, w4, w2); a2n = sel(r2, a4, a2); b2n = sel(r2, b4, b2)
+      w3n = sel(r3, w4, w3); a3n = sel(r3, a4, a3); b3n = sel(r3, b4, b3)
+      return (w1n, a1n, b1n, w2n, a2n, b2n, w3n, a3n, b3n, miss,
+              new_done)
+
+    state = (w1, a1, b1, w2, a2, b2, w3, a3, b3, miss, done0)
+    state = jax.lax.fori_loop(0, _MPR_ITERATIONS, ref_body, state)
+    w1, a1, b1, w2, a2, b2, w3, a3, b3, miss, _ = state
+
+    # final portal plane (outward normal by the winding invariant)
+    n = math.normalize(jnp.cross(w2 - w1, w3 - w1))
     plane_d = jnp.dot(n, w1)        # signed dist of portal plane from O
-    # penetration iff origin is inside the portal plane (plane_d >= 0
-    # with outward normal) — depth = distance from origin to the plane
-    penetrating = plane_d >= 0
+    # penetration iff the origin is inside the portal plane AND no
+    # separating axis was witnessed; insurance: the support along the
+    # final normal must itself reach the origin (sound SA check — can
+    # never reject a truly penetrating pair)
+    w_sa, _, _ = S(n)
+    penetrating = (plane_d >= 0) & ~miss & (jnp.dot(n, w_sa) >= 0)
     depth = plane_d                  # >= 0 when penetrating
 
     # witness points: barycentric coords of the origin ray hit on the

@@ -233,7 +233,9 @@ def capsule_box(p1, m1, s1, p2, m2, s2):
   # sample the segment; the two candidates are the FIRST and LAST t
   # attaining (approximately) the minimum — for face-lying capsules the
   # minimum is a flat interval and its endpoints form the manifold
-  ts = jnp.linspace(0.0, 1.0, 33).astype(p1.dtype)
+  # exact power-of-two grid (bitwise-identical to the Pallas
+  # contact kernel's iota-derived grid)
+  ts = jnp.arange(33, dtype=p1.dtype) * (1.0 / 32.0)
   sds = jax.vmap(sdist_at)(ts)
   sdmin = jnp.min(sds)
   tol = 1e-4 * (1.0 + jnp.abs(sdmin))
@@ -246,7 +248,7 @@ def capsule_box(p1, m1, s1, p2, m2, s2):
     # so flat (face-contact) regions don't drift inward
     t = t0
     delta = jnp.full((), 1.0 / 32.0, p1.dtype)
-    offs = jnp.linspace(-1.0, 1.0, 9).astype(p1.dtype)
+    offs = (jnp.arange(9, dtype=p1.dtype) - 4.0) * 0.25
     for _ in range(5):
       cand = jnp.clip(t + offs * delta, 0.0, 1.0)
       vals = jax.vmap(sdist_at)(cand) + 1e-6 * jnp.abs(cand - t)

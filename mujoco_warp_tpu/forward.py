@@ -440,7 +440,14 @@ def forward_batched(m: Model, d: Data) -> Data:
   one Pallas megakernel on TPU; collision/constraint/solver stay at XLA
   level; linear solves batch to one Pallas kernel each."""
   vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
-  use_mega = jax.default_backend() == 'tpu' and m.nv > 0
+  # size guard: Mosaic compile time for the statically-unrolled smooth
+  # kernel grows superlinearly with the tree size — a 3-humanoid scene
+  # (nv=81) sat in the remote compiler for hours. Past the cap the XLA
+  # path compiles in minutes and is the better trade.
+  import os as _os
+  _mega_cap = int(_os.environ.get('MJWT_MEGA_NV_CAP', '64'))
+  use_mega = (jax.default_backend() == 'tpu' and
+              0 < m.nv <= _mega_cap and m.nbody <= 2 * _mega_cap)
   if use_mega:
     d = _smooth_mega_batched(m, d)
     if m.ncam or m.nlight:

@@ -37,9 +37,13 @@ _BIG = 1e10
 
 _SUPPORTED = {
     (GeomType.PLANE, GeomType.SPHERE), (GeomType.PLANE, GeomType.CAPSULE),
+    (GeomType.PLANE, GeomType.BOX),
     (GeomType.SPHERE, GeomType.SPHERE),
     (GeomType.SPHERE, GeomType.CAPSULE),
+    (GeomType.SPHERE, GeomType.BOX),
     (GeomType.CAPSULE, GeomType.CAPSULE),
+    (GeomType.CAPSULE, GeomType.BOX),
+    (GeomType.BOX, GeomType.BOX),
 }
 
 
@@ -50,7 +54,7 @@ def supports(m: Model, d) -> bool:
   from ..types import ConeType
   if m.opt.cone != ConeType.PYRAMIDAL:
     return False
-  if m.neq or m.ntendon or any(m.dof_hasfrictionloss):
+  if m.neq or m.ntendon:
     return False
   for j in range(m.njnt):
     if m.jnt_limited[j] and m.jnt_type[j] not in (JointType.SLIDE,
@@ -61,7 +65,10 @@ def supports(m: Model, d) -> bool:
       return False
   # Mosaic compile time scales with the unrolled candidate x slot work;
   # past this budget the XLA path compiles faster than the kernel
-  ncand = sum(len(gl) * 2 for _, _, gl in m.collision_pairs)
+  from .. import collision_primitive
+  ncand = sum(
+      len(gl) * collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
+      for t1, t2, gl in m.collision_pairs)
   nconmax = d.contact.dist.shape[-1]
   if ncand > 512 or nconmax > 48 or m.nv > 64:
     return False
@@ -148,10 +155,766 @@ def _sphere_like(n_raw, r1, r2, ref):
   return [(dist, pos, _make_frame(n))]
 
 
-def _collide(t1, t2, p1, z1, p2, z2, s1, s2):
+def _rcol(R, j):
+  """Column j of a (9, L) row-major rotation block -> (3, L)."""
+  return jnp.concatenate([R[j:j + 1], R[3 + j:4 + j], R[6 + j:7 + j]],
+                         axis=0)
+
+
+def _rtvec(R, v):
+  """R^T @ v in lane form: R (9, L) row-major, v (3, L) -> (3, L)."""
+  return jnp.concatenate([
+      R[0:1] * v[0:1] + R[3:4] * v[1:2] + R[6:7] * v[2:3],
+      R[1:2] * v[0:1] + R[4:5] * v[1:2] + R[7:8] * v[2:3],
+      R[2:3] * v[0:1] + R[5:6] * v[1:2] + R[8:9] * v[2:3]], axis=0)
+
+
+def _rvec(R, v):
+  """R @ v in lane form."""
+  return jnp.concatenate([
+      R[0:1] * v[0:1] + R[1:2] * v[1:2] + R[2:3] * v[2:3],
+      R[3:4] * v[0:1] + R[4:5] * v[1:2] + R[5:6] * v[2:3],
+      R[6:7] * v[0:1] + R[7:8] * v[1:2] + R[8:9] * v[2:3]], axis=0)
+
+
+def _stable_ranks(keys):
+  """Descending-by-key stable ranks (ties -> lower index wins), the
+  lane-form equivalent of jax.lax.top_k selection order. keys: list of
+  (1, L); returns list of (1, L) float ranks."""
+  n = len(keys)
+  ranks = [jnp.zeros_like(keys[0]) for _ in range(n)]
+  for i in range(n):
+    for j in range(i + 1, n):
+      gt_ij = (keys[i] > keys[j]) | ((keys[i] == keys[j]))
+      # key_i >= key_j (tie favors i, the lower index): j ranks after i
+      ranks[j] = ranks[j] + gt_ij.astype(keys[0].dtype)
+      ranks[i] = ranks[i] + 1.0 - gt_ij.astype(keys[0].dtype)
+  return ranks
+
+
+def _point_box_sd(cx, cy, cz, hx, hy, hz):
+  """collision_primitive._point_box in lane/elementwise form. Inputs
+  (N, L); returns (closest xyz, outward normal xyz, signed dist)."""
+  clx = jnp.clip(cx, -hx, hx)
+  cly = jnp.clip(cy, -hy, hy)
+  clz = jnp.clip(cz, -hz, hz)
+  inside = ((jnp.abs(cx) < hx) & (jnp.abs(cy) < hy) & (jnp.abs(cz) < hz))
+  dvx, dvy, dvz = cx - clx, cy - cly, cz - clz
+  dn = jnp.sqrt(dvx * dvx + dvy * dvy + dvz * dvz)
+  dns = jnp.where(dn < 1e-12, 1.0, dn)
+  nox, noy, noz = dvx / dns, dvy / dns, dvz / dns
+  crx, cry, crz = hx - jnp.abs(cx), hy - jnp.abs(cy), hz - jnp.abs(cz)
+  is_x = (crx <= cry) & (crx <= crz)
+  is_y = ~is_x & (cry <= crz)
+  is_z = ~is_x & ~is_y
+  sx = jnp.where(cx >= 0, 1.0, -1.0)
+  sy = jnp.where(cy >= 0, 1.0, -1.0)
+  sz = jnp.where(cz >= 0, 1.0, -1.0)
+  fx = is_x.astype(cx.dtype)
+  fy = is_y.astype(cx.dtype)
+  fz = is_z.astype(cx.dtype)
+  nix, niy, niz = fx * sx, fy * sy, fz * sz
+  six = jnp.where(is_x, sx * hx, cx)
+  siy = jnp.where(is_y, sy * hy, cy)
+  siz = jnp.where(is_z, sz * hz, cz)
+  mcl = jnp.minimum(jnp.minimum(crx, cry), crz)
+  ox = jnp.where(inside, six, clx)
+  oy = jnp.where(inside, siy, cly)
+  oz = jnp.where(inside, siz, clz)
+  nx = jnp.where(inside, nix, nox)
+  ny = jnp.where(inside, niy, noy)
+  nz = jnp.where(inside, niz, noz)
+  sd = jnp.where(inside, -mcl, dn)
+  return ox, oy, oz, nx, ny, nz, sd
+
+
+def _make_frame_elem(nx, ny, nz):
+  """_make_frame with separated coordinates (N, L): returns 9 arrays
+  (normal, tangent1, tangent2 rows)."""
+  nn = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+  nx, ny, nz = nx / nn, ny / nn, nz / nn
+  near_vert = jnp.abs(nz) >= 0.5
+  hy = jnp.where(near_vert, 1.0, 0.0)
+  hz = jnp.where(near_vert, 0.0, 1.0)
+  dd = ny * hy + nz * hz
+  bx = -nx * dd
+  by = hy - ny * dd
+  bz = hz - nz * dd
+  bn = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-30))
+  bx, by, bz = bx / bn, by / bn, bz / bn
+  cx = ny * bz - nz * by
+  cy = nz * bx - nx * bz
+  cz = nx * by - ny * bx
+  return nx, ny, nz, bx, by, bz, cx, cy, cz
+
+
+def _capsule_box_batch(pairs, gx_ref, gm_ref, geom_size_np):
+  """collision_primitive.capsule_box ported lane-for-lane, with ALL
+  capsule-box pairs batched in the sublane axis (pair-major blocks) so
+  the Mosaic instruction count is ~one pair's worth. Returns
+  {(g1, g2): [2 x (dist (1,L), pos (3,L), frame (9,L))]}."""
+  P = len(pairs)
+  L = gx_ref.shape[-1]
+  dt = jnp.float32
+  T = 33
+
+  # per-pair segment endpoints in box-local frame + per-pair constants
+  a3, seg3, r1s, h3 = [], [], [], []
+  for (g1, g2) in pairs:
+    R1, R2 = gm_ref[g1], gm_ref[g2]
+    p1, p2 = gx_ref[g1], gx_ref[g2]
+    s1 = geom_size_np[g1]
+    z1 = _rcol(R1, 2)
+    a = _rtvec(R2, p1 + z1 * float(s1[1]) - p2)
+    b = _rtvec(R2, p1 - z1 * float(s1[1]) - p2)
+    a3.append(a)
+    seg3.append(b - a)
+    r1s.append(float(s1[0]))
+    h3.append([float(x) for x in geom_size_np[g2][:3]])
+
+  def rep(rows, n):
+    """concat([broadcast(row_p, (n, L)) for p]) -> (n*P, L)."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(r, (n, L)) for r in rows], axis=0)
+
+  t_pat = jax.lax.broadcasted_iota(dt, (T, L), 0) * (1.0 / 32.0)
+  t_all = jnp.concatenate([t_pat] * P, axis=0)          # (T*P, L)
+  ax = rep([a[0:1] for a in a3], T)
+  ay = rep([a[1:2] for a in a3], T)
+  az = rep([a[2:3] for a in a3], T)
+  sx = rep([s[0:1] for s in seg3], T)
+  sy = rep([s[1:2] for s in seg3], T)
+  sz = rep([s[2:3] for s in seg3], T)
+  hx = rep([jnp.full((1, L), h[0], dt) for h in h3], T)
+  hy = rep([jnp.full((1, L), h[1], dt) for h in h3], T)
+  hz = rep([jnp.full((1, L), h[2], dt) for h in h3], T)
+  _, _, _, _, _, _, sd = _point_box_sd(
+      ax + t_all * sx, ay + t_all * sy, az + t_all * sz, hx, hy, hz)
+
+  # per-pair first/last t attaining ~the min
+  t_ends = []                                            # 2P x (1, L)
+  for p in range(P):
+    sds = sd[p * T:(p + 1) * T]
+    sdmin = jnp.min(sds, axis=0, keepdims=True)
+    tol = 1e-4 * (1.0 + jnp.abs(sdmin))
+    at_min = sds <= sdmin + tol
+    t_first = jnp.min(jnp.where(at_min, t_pat, 2.0), axis=0,
+                      keepdims=True)
+    t_last = jnp.max(jnp.where(at_min, t_pat, -1.0), axis=0,
+                     keepdims=True)
+    t_ends.append(t_first)
+    t_ends.append(t_last)
+
+  # shrinking-window refinement, both endpoints of all pairs batched:
+  # rows are (9 offsets) x (2P candidates)
+  NC = 2 * P
+  offs = (jax.lax.broadcasted_iota(dt, (9, L), 0) - 4.0) * 0.25
+  offs_all = jnp.concatenate([offs] * NC, axis=0)        # (9*NC, L)
+  ax9 = rep([a3[p // 2][0:1] for p in range(NC)], 9)
+  ay9 = rep([a3[p // 2][1:2] for p in range(NC)], 9)
+  az9 = rep([a3[p // 2][2:3] for p in range(NC)], 9)
+  sx9 = rep([seg3[p // 2][0:1] for p in range(NC)], 9)
+  sy9 = rep([seg3[p // 2][1:2] for p in range(NC)], 9)
+  sz9 = rep([seg3[p // 2][2:3] for p in range(NC)], 9)
+  hx9 = rep([jnp.full((1, L), h3[p // 2][0], dt) for p in range(NC)], 9)
+  hy9 = rep([jnp.full((1, L), h3[p // 2][1], dt) for p in range(NC)], 9)
+  hz9 = rep([jnp.full((1, L), h3[p // 2][2], dt) for p in range(NC)], 9)
+  delta = 1.0 / 32.0
+  for _ in range(5):
+    t9 = rep(t_ends, 9)                                  # (9*NC, L)
+    cand = jnp.clip(t9 + offs_all * delta, 0.0, 1.0)
+    _, _, _, _, _, _, sd9 = _point_box_sd(
+        ax9 + cand * sx9, ay9 + cand * sy9, az9 + cand * sz9,
+        hx9, hy9, hz9)
+    vals = sd9 + 1e-6 * jnp.abs(cand - t9)
+    new_ends = []
+    for c in range(NC):
+      v = vals[c * 9:(c + 1) * 9]
+      cc = cand[c * 9:(c + 1) * 9]
+      minv = jnp.min(v, axis=0, keepdims=True)
+      pick = v == minv
+      new_ends.append(jnp.min(jnp.where(pick, cc, 2.0), axis=0,
+                              keepdims=True))
+    t_ends = new_ends
+    delta = delta * 0.25
+
+  # final contact quantities for the 2P candidates, batched
+  t2r = jnp.concatenate(t_ends, axis=0)                  # (NC, L)
+  axc = rep([a3[p // 2][0:1] for p in range(NC)], 1)
+  ayc = rep([a3[p // 2][1:2] for p in range(NC)], 1)
+  azc = rep([a3[p // 2][2:3] for p in range(NC)], 1)
+  sxc = rep([seg3[p // 2][0:1] for p in range(NC)], 1)
+  syc = rep([seg3[p // 2][1:2] for p in range(NC)], 1)
+  szc = rep([seg3[p // 2][2:3] for p in range(NC)], 1)
+  hxc = rep([jnp.full((1, L), h3[p // 2][0], dt) for p in range(NC)], 1)
+  hyc = rep([jnp.full((1, L), h3[p // 2][1], dt) for p in range(NC)], 1)
+  hzc = rep([jnp.full((1, L), h3[p // 2][2], dt) for p in range(NC)], 1)
+  ox, oy, oz, nx, ny, nz, sdc = _point_box_sd(
+      axc + t2r * sxc, ayc + t2r * syc, azc + t2r * szc, hxc, hyc, hzc)
+  rad = jnp.concatenate(
+      [jnp.full((1, L), r1s[p // 2], dt) for p in range(NC)], axis=0)
+  dist = sdc - rad
+  # world-frame normal/pos: per-pair rotation rows stacked over NC
+  R2rows = [jnp.concatenate([gm_ref[pairs[p // 2][1]][i:i + 1]
+                             for p in range(NC)], axis=0)
+            for i in range(9)]
+  p2rows = [jnp.concatenate([gx_ref[pairs[p // 2][1]][i:i + 1]
+                             for p in range(NC)], axis=0)
+            for i in range(3)]
+  nwx = R2rows[0] * nx + R2rows[1] * ny + R2rows[2] * nz
+  nwy = R2rows[3] * nx + R2rows[4] * ny + R2rows[5] * nz
+  nwz = R2rows[6] * nx + R2rows[7] * ny + R2rows[8] * nz
+  px = p2rows[0] + R2rows[0] * ox + R2rows[1] * oy + R2rows[2] * oz + (
+      0.5 * dist * nwx)
+  py = p2rows[1] + R2rows[3] * ox + R2rows[4] * oy + R2rows[5] * oz + (
+      0.5 * dist * nwy)
+  pz = p2rows[2] + R2rows[6] * ox + R2rows[7] * oy + R2rows[8] * oz + (
+      0.5 * dist * nwz)
+  fr9 = _make_frame_elem(-nwx, -nwy, -nwz)
+
+  out = {}
+  for p, (g1, g2) in enumerate(pairs):
+    entries = []
+    for c in (2 * p, 2 * p + 1):
+      dist_c = dist[c:c + 1]
+      pos_c = jnp.concatenate([px[c:c + 1], py[c:c + 1], pz[c:c + 1]],
+                              axis=0)
+      frame_c = jnp.concatenate([f[c:c + 1] for f in fr9], axis=0)
+      entries.append((dist_c, pos_c, frame_c))
+    out[(g1, g2)] = entries
+  return out
+
+
+# _ROTMORE permutations (collision_box._ROTMORE): rotate face k to +z
+_ROTMORE_NP = np.zeros((6, 3, 3), dtype=np.float32)
+_ROTMORE_NP[0, 0, 2], _ROTMORE_NP[0, 1, 1], _ROTMORE_NP[0, 2, 0] = -1, 1, 1
+_ROTMORE_NP[1, 0, 0], _ROTMORE_NP[1, 1, 2], _ROTMORE_NP[1, 2, 1] = 1, -1, 1
+_ROTMORE_NP[2, 0, 0], _ROTMORE_NP[2, 1, 1], _ROTMORE_NP[2, 2, 2] = 1, 1, 1
+_ROTMORE_NP[3, 0, 2], _ROTMORE_NP[3, 1, 1], _ROTMORE_NP[3, 2, 0] = 1, 1, -1
+_ROTMORE_NP[4, 0, 0], _ROTMORE_NP[4, 1, 2], _ROTMORE_NP[4, 2, 1] = 1, 1, -1
+_ROTMORE_NP[5, 0, 0], _ROTMORE_NP[5, 1, 1], _ROTMORE_NP[5, 2, 2] = -1, 1, -1
+
+
+def _box_box_batch(pairs, margins, gx_ref, gm_ref, geom_size_np):
+  """collision_box.box_box (C mjc_BoxBox SAT + manifold) ported
+  lane-for-lane with all box-box pairs batched in the sublane axis.
+  Vectors are coordinate tuples of (P, L) arrays; 3x3 matrices are
+  9-lists (row-major). Returns {(g1, g2): [8 x (dist, pos, frame)]}."""
+  P = len(pairs)
+  L = gx_ref.shape[-1]
+  dt = jnp.float32
+  f = lambda v: v.astype(dt)
+  B = lambda b: b.astype(dt)
+
+  def crow(vals):
+    """per-pair static floats -> (P, L)."""
+    return jnp.concatenate([jnp.full((1, L), float(v), dt) for v in vals],
+                           axis=0)
+
+  def stk(rows):
+    return jnp.concatenate(rows, axis=0)                 # P x (1,L)
+
+  # stacked inputs
+  M1 = [stk([gm_ref[g1][i:i + 1] for (g1, g2) in pairs])
+        for i in range(9)]
+  M2 = [stk([gm_ref[g2][i:i + 1] for (g1, g2) in pairs])
+        for i in range(9)]
+  P1 = [stk([gx_ref[g1][i:i + 1] for (g1, g2) in pairs])
+        for i in range(3)]
+  P2 = [stk([gx_ref[g2][i:i + 1] for (g1, g2) in pairs])
+        for i in range(3)]
+  S1 = [crow([geom_size_np[g1][i] for (g1, g2) in pairs])
+        for i in range(3)]
+  S2 = [crow([geom_size_np[g2][i] for (g1, g2) in pairs])
+        for i in range(3)]
+  marg = crow(margins)
+  sepsum = crow([3.0 * float(sum(geom_size_np[g1][:3]) +
+                             sum(geom_size_np[g2][:3]))
+                 for (g1, g2) in pairs])
+
+  def mtv(M, v):                                         # M^T @ v
+    return [M[0 + i] * v[0] + M[3 + i] * v[1] + M[6 + i] * v[2]
+            for i in range(3)]
+
+  def mv(M, v):                                          # M @ v
+    return [M[3 * i] * v[0] + M[3 * i + 1] * v[1] + M[3 * i + 2] * v[2]
+            for i in range(3)]
+
+  dp = [P2[i] - P1[i] for i in range(3)]
+  pos21 = mtv(M1, dp)
+  pos12 = mtv(M2, [-d for d in dp])
+  # rot21[i][j] = sum_k M1[k][i] * M2[k][j]
+  R21 = [M1[3 * 0 + i] * M2[3 * 0 + j] + M1[3 * 1 + i] * M2[3 * 1 + j] +
+         M1[3 * 2 + i] * M2[3 * 2 + j]
+         for i in range(3) for j in range(3)]
+  A21 = [jnp.abs(r) for r in R21]
+  # rot12 = rot21.T ; plen2 = rot21abs @ s2 ; plen1 = rot12abs @ s1
+  plen2 = [A21[3 * i] * S2[0] + A21[3 * i + 1] * S2[1] +
+           A21[3 * i + 2] * S2[2] for i in range(3)]
+  plen1 = [A21[i] * S1[0] + A21[3 + i] * S1[1] + A21[6 + i] * S1[2]
+           for i in range(3)]
+
+  # ---- SAT (collision_box._sat, C-exact candidate order) ----
+  sep = marg + sepsum
+  axis_code = jnp.full((P, L), -1.0, dt)
+  fail = jnp.zeros((P, L), jnp.bool_)
+  for i in range(3):
+    c1 = -jnp.abs(pos21[i]) + S1[i] + plen2[i]
+    c2 = -jnp.abs(pos12[i]) + S2[i] + plen1[i]
+    fail = fail | (c1 < -marg) | (c2 < -marg)
+    upd = c1 < sep
+    axis_code = jnp.where(upd, float(i) + 3.0 * B(pos21[i] < 0),
+                          axis_code)
+    sep = jnp.where(upd, c1, sep)
+    upd = c2 < sep
+    axis_code = jnp.where(upd, float(i) + 3.0 * B(pos12[i] < 0) + 6.0,
+                          axis_code)
+    sep = jnp.where(upd, c2, sep)
+
+  zero = jnp.zeros((P, L), dt)
+  clnorm = [zero, zero, zero]
+  inv = jnp.zeros((P, L), jnp.bool_)
+  cle1b = [zero, zero, zero]                             # bit arrays
+  cle2b = [zero, zero, zero]
+  for i in range(3):
+    for j in range(3):
+      # cross(e_i axis of box1, rot12[j]) in box1 frame
+      r12j = [R21[3 * 0 + j], R21[3 * 1 + j], R21[3 * 2 + j]]
+      if i == 0:
+        cross = [zero, -r12j[2], r12j[1]]
+      elif i == 1:
+        cross = [r12j[2], zero, -r12j[0]]
+      else:
+        cross = [-r12j[1], r12j[0], zero]
+      clen = jnp.sqrt(jnp.maximum(
+          cross[0] ** 2 + cross[1] ** 2 + cross[2] ** 2, 0.0))
+      ok = clen >= 1e-9
+      clen_s = jnp.where(ok, clen, 1.0)
+      axis = [c / clen_s for c in cross]
+      box_dist = (pos21[0] * axis[0] + pos21[1] * axis[1] +
+                  pos21[2] * axis[2])
+      c3 = -jnp.abs(box_dist)
+      for k in range(3):
+        if k != i:
+          c3 = c3 + S1[k] * jnp.abs(axis[k])
+        if k != j:
+          c3 = c3 + S2[k] * A21[3 * i + (3 - k - j)] / clen_s
+      fail = fail | (ok & (c3 < -marg))
+      upd = ok & (c3 < sep * (1.0 - 1e-12))
+      nb1 = [zero, zero, zero]
+      nb2 = [zero, zero, zero]
+      for k in range(3):
+        if k != i:
+          nb1[k] = B((axis[k] > 0) ^ (box_dist < 0))
+        if k != j:
+          nb2[k] = B((R21[3 * i + (3 - k - j)] > 0) ^ (box_dist < 0) ^
+                     (((k - j + 3) % 3) == 1))
+      sep = jnp.where(upd, c3, sep)
+      axis_code = jnp.where(upd, float(12 + i * 3 + j), axis_code)
+      clnorm = [jnp.where(upd, axis[k], clnorm[k]) for k in range(3)]
+      inv = jnp.where(upd, box_dist < 0, inv)
+      cle1b = [jnp.where(upd, nb1[k], cle1b[k]) for k in range(3)]
+      cle2b = [jnp.where(upd, nb2[k], cle2b[k]) for k in range(3)]
+  fail = fail | (axis_code < 0)
+
+  def sel3(idx, a, b, c):
+    return jnp.where(idx == 0, a, jnp.where(idx == 1, b, c))
+
+  def rotmore_of(sel_idx):
+    """(P, L) index in [0, 6) -> 9 masked-sum (P, L) entries."""
+    out = []
+    for i in range(3):
+      for j in range(3):
+        acc = zero
+        for k in range(6):
+          v = float(_ROTMORE_NP[k, i, j])
+          if v != 0.0:
+            acc = acc + B(sel_idx == k) * v
+        out.append(acc)
+    return out
+
+  def m_mul(A, Bm):                                      # A @ B
+    return [sum(A[3 * i + k] * Bm[3 * k + j] for k in range(3))
+            for i in range(3) for j in range(3)]
+
+  # ---- face case (collision_box._face_case) ----
+  fc = jnp.clip(axis_code, 0.0, 11.0)
+  box_idx = jnp.floor(fc / 6.0)
+  face_idx = fc - 6.0 * box_idx
+  bi = box_idx > 0.5
+  rotmore = rotmore_of(face_idx)
+  R12 = [R21[3 * j + i] for i in range(3) for j in range(3)]
+  rsel = [jnp.where(bi, R12[k], R21[k]) for k in range(9)]
+  r = m_mul(rotmore, rsel)
+  psel = [jnp.where(bi, pos12[k], pos21[k]) for k in range(3)]
+  p = mv(rotmore, psel)
+  ssel = [jnp.where(bi, S2[k], S1[k]) for k in range(3)]
+  ss = [jnp.abs(v) for v in mv(rotmore, ssel)]
+  s_o = [jnp.where(bi, S1[k], S2[k]) for k in range(3)]
+  rt = [r[3 * j + i] for i in range(3) for j in range(3)]  # r.T
+  lx, ly, hz = ss[0], ss[1], ss[2]
+  p = [p[0], p[1], p[2] - hz]
+
+  clc = [r[3 * 2 + i] < 0 for i in range(3)]
+  lp = list(p)
+  for i in range(3):
+    sgn_i = jnp.where(clc[i], 1.0, -1.0)
+    for k in range(3):
+      lp[k] = lp[k] + rt[3 * i + k] * s_o[i] * sgn_i
+
+  w = [jnp.abs(r[3 * 2 + i]) < 0.5 for i in range(3)]
+  wf = [B(x) for x in w]
+  dirs = wf[0] + wf[1] + wf[2]
+  cns = []
+  for i in range(3):
+    sgn_i = jnp.where(clc[i], -2.0, 2.0)
+    cns.append([rt[3 * i + k] * s_o[i] * sgn_i for k in range(3)])
+  # stable argsort(-wf): cn1 = first lateral dir, cn2 = second
+  m0 = wf[0]
+  m1_ = (1.0 - wf[0]) * wf[1]
+  m2_ = (1.0 - wf[0]) * (1.0 - wf[1]) * wf[2]
+  cn1 = [m0 * cns[0][k] + m1_ * cns[1][k] + m2_ * cns[2][k]
+         for k in range(3)]
+  n1_ = wf[0] * wf[1]
+  n2_ = wf[2] * jnp.clip(wf[0] + wf[1], 0.0, 1.0) * (1.0 - wf[0] * wf[1])
+  cn2 = [n1_ * cns[1][k] + n2_ * cns[2][k] for k in range(3)]
+  dirs2 = dirs == 2.0
+
+  f_pts = []
+  f_valid = []
+  # (a) incident-edge lines clipped against rect edges: 16 slots
+  lines = [(lp, cn1, dirs >= 1.0), (lp, cn2, dirs2),
+           ([lp[k] + cn1[k] for k in range(3)], cn2, dirs2),
+           ([lp[k] + cn2[k] for k in range(3)], cn1, dirs2)]
+  for la, lb, lex in lines:
+    for q in (0, 1):
+      denom_ok = jnp.abs(lb[q]) > 1e-9
+      br = 1.0 / jnp.where(denom_ok, lb[q], 1.0)
+      for j in (-1.0, 1.0):
+        l_ = ss[q] * j
+        c1_ = (l_ - la[q]) * br
+        c2_ = la[1 - q] + lb[1 - q] * c1_
+        valid = (lex & denom_ok & (c1_ >= 0) & (c1_ <= 1) &
+                 (jnp.abs(c2_) <= ss[1 - q]))
+        f_pts.append([la[k] + c1_ * lb[k] for k in range(3)])
+        f_valid.append(valid)
+  # (b) rect corners inside the incident face parallelogram: 4 slots
+  ax_, bx_ = cn1[0], cn2[0]
+  ay_, by_ = cn1[1], cn2[1]
+  det = ax_ * by_ - bx_ * ay_
+  cdet = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+  for i in range(4):
+    llx = lx if i // 2 else -lx
+    lly = ly if i % 2 else -ly
+    x = llx - lp[0]
+    y = lly - lp[1]
+    u = (x * by_ - y * bx_) * cdet
+    v = (y * ax_ - x * ay_) * cdet
+    valid = dirs2 & (u > 0) & (v > 0) & (u < 1) & (v < 1)
+    f_pts.append([llx, lly, lp[2] + u * cn1[2] + v * cn2[2]])
+    f_valid.append(valid)
+  # (c) incident-face corners inside the rect: 4 slots
+  for i in range(4):
+    exist = dirs2 | (i < 2)
+    tmpv = [lp[k] + (i & 1) * cn1[k] + (1.0 if i & 2 else 0.0) * cn2[k]
+            for k in range(3)]
+    valid = exist & (tmpv[0] > -lx) & (tmpv[0] < lx) & (
+        tmpv[1] > -ly) & (tmpv[1] < ly)
+    f_pts.append(tmpv)
+    f_valid.append(valid)
+
+  f_depth = [pt[2] for pt in f_pts]
+  f_valid = [v & (pt[2] <= marg) for v, pt in zip(f_valid, f_pts)]
+  # world transform: rw = (bi ? m2 : m1) @ rotmore.T
+  msel = [jnp.where(bi, M2[k], M1[k]) for k in range(9)]
+  rmT = [rotmore[3 * j + i] for i in range(3) for j in range(3)]
+  rw_f = m_mul(msel, rmT)
+  pw = [jnp.where(bi, P2[k], P1[k]) for k in range(3)]
+  fsign = jnp.where(bi, -1.0, 1.0)
+  f_normal = [fsign * rw_f[3 * k + 2] for k in range(3)]
+  f_world = []
+  for pt in f_pts:
+    loc = [pt[0], pt[1], pt[2] * 0.5 + hz]
+    f_world.append([rw_f[3 * k] * loc[0] + rw_f[3 * k + 1] * loc[1] +
+                    rw_f[3 * k + 2] * loc[2] + pw[k] for k in range(3)])
+
+  # ---- edge case (collision_box._edge_case) ----
+  code = jnp.clip(axis_code - 12.0, 0.0, 8.0)
+  edge1 = jnp.floor(code / 3.0)
+  edge2 = code - 3.0 * edge1
+  e2b1 = jnp.floor(edge2 / 2.0)            # edge2 bit1 (edge2 & 2)/2
+  e2b0 = edge2 - 2.0 * e2b1                # edge2 & 1
+  ax1 = 1.0 - e2b0
+  ax2 = 2.0 - 2.0 * e2b1
+  # rot21abs row edge1
+  r21_e1 = [sel3(edge1, A21[0 + k], A21[3 + k], A21[6 + k])
+            for k in range(3)]
+  swap2 = (sel3(ax1, r21_e1[0], r21_e1[1], r21_e1[2]) <
+           sel3(ax2, r21_e1[0], r21_e1[1], r21_e1[2]))
+  ax1, ax2 = (jnp.where(swap2, ax2, ax1), jnp.where(swap2, ax1, ax2))
+  e1b1 = jnp.floor(edge1 / 2.0)
+  e1b0 = edge1 - 2.0 * e1b1
+  pax1 = 1.0 - e1b0
+  pax2 = 2.0 - 2.0 * e1b1
+  # rot12abs row edge2 = rot21abs column edge2
+  r12_e2 = [sel3(edge2, A21[3 * k + 0], A21[3 * k + 1], A21[3 * k + 2])
+            for k in range(3)]
+  swap1 = (sel3(pax1, r12_e2[0], r12_e2[1], r12_e2[2]) <
+           sel3(pax2, r12_e2[0], r12_e2[1], r12_e2[2]))
+  pax1, pax2 = (jnp.where(swap1, pax2, pax1),
+                jnp.where(swap1, pax1, pax2))
+
+  bit1 = sel3(pax2, cle1b[0], cle1b[1], cle1b[2])
+  rm_idx = jnp.where(bit1 > 0.5, pax2, pax2 + 3.0)
+  rotmore_e = rotmore_of(rm_idx)
+  p_e = mv(rotmore_e, pos21)
+  rnorm = mv(rotmore_e, clnorm)
+  r_e = m_mul(rotmore_e, R21)
+  rt_e = [r_e[3 * j + i] for i in range(3) for j in range(3)]
+  rmT_e = [rotmore_e[3 * j + i] for i in range(3) for j in range(3)]
+  s_e = [jnp.abs(v) for v in mv(rmT_e, S1)]
+  lx_e, ly_e, hz_e = s_e[0], s_e[1], s_e[2]
+  p_e = [p_e[0], p_e[1], p_e[2] - hz_e]
+
+  def sgn_bits(bits, a):
+    bit = sel3(a, bits[0], bits[1], bits[2])
+    return jnp.where(bit > 0.5, 1.0, -1.0)
+
+  rt_ax1 = [sel3(ax1, rt_e[0 + k], rt_e[3 + k], rt_e[6 + k])
+            for k in range(3)]
+  rt_ax2 = [sel3(ax2, rt_e[0 + k], rt_e[3 + k], rt_e[6 + k])
+            for k in range(3)]
+  rt_ee2 = [sel3(edge2, rt_e[0 + k], rt_e[3 + k], rt_e[6 + k])
+            for k in range(3)]
+  s2_ax1 = sel3(ax1, S2[0], S2[1], S2[2])
+  s2_ax2 = sel3(ax2, S2[0], S2[1], S2[2])
+  s2_e2 = sel3(edge2, S2[0], S2[1], S2[2])
+
+  sc1 = sgn_bits(cle2b, ax1)
+  sc2 = sgn_bits(cle2b, ax2)
+  pt0 = [p_e[k] + rt_ax1[k] * s2_ax1 * sc1 + rt_ax2[k] * s2_ax2 * sc2
+         for k in range(3)]
+  pt1 = [pt0[k] - rt_ee2[k] * s2_e2 for k in range(3)]
+  pt0 = [pt0[k] + rt_ee2[k] * s2_e2 for k in range(3)]
+  pt2 = [p_e[k] - rt_ax1[k] * s2_ax1 * sc1 + rt_ax2[k] * s2_ax2 * sc2
+         for k in range(3)]
+  pt3 = [pt2[k] - rt_ee2[k] * s2_e2 for k in range(3)]
+  pt2 = [pt2[k] + rt_ee2[k] * s2_e2 for k in range(3)]
+  quad = [pt0, pt1, pt2, pt3]
+
+  axi_lp = quad[0]
+  axi_cn1 = [quad[1][k] - quad[0][k] for k in range(3)]
+  axi_cn2 = [quad[2][k] - quad[0][k] for k in range(3)]
+
+  norm_ok = jnp.abs(rnorm[2]) >= 1e-9
+  isign = jnp.where(inv, -1.0, 1.0)
+  innorm = isign / jnp.where(norm_ok, rnorm[2], 1.0)
+
+  proj = []
+  for ptq in quad:
+    c_scl = ptq[2] * isign * innorm
+    proj.append([ptq[k] - rnorm[k] * c_scl for k in range(3)])
+  pts_lp = proj[0]
+  pts_cn1 = [proj[1][k] - proj[0][k] for k in range(3)]
+  pts_cn2 = [proj[2][k] - proj[0][k] for k in range(3)]
+
+  e_pts = []
+  e_depth = []
+  e_valid = []
+  lines2 = [(pts_lp, pts_cn1, axi_lp, axi_cn1),
+            (pts_lp, pts_cn2, axi_lp, axi_cn2),
+            ([pts_lp[k] + pts_cn1[k] for k in range(3)], pts_cn2,
+             [axi_lp[k] + axi_cn1[k] for k in range(3)], axi_cn2),
+            ([pts_lp[k] + pts_cn2[k] for k in range(3)], pts_cn1,
+             [axi_lp[k] + axi_cn2[k] for k in range(3)], axi_cn1)]
+  for la2, lb2, lua, lub in lines2:
+    for q in (0, 1):
+      lb_q = lb2[q]
+      denom_ok = jnp.abs(lb_q) > 1e-9
+      br = 1.0 / jnp.where(denom_ok, lb_q, 1.0)
+      for j in (-1.0, 1.0):
+        l_ = s_e[q] * j
+        c1_ = (l_ - la2[q]) * br
+        c2_ = la2[1 - q] + lb2[1 - q] * c1_
+        zval = (lua[2] + lub[2] * c1_) * innorm
+        valid = (denom_ok & (c1_ >= 0) & (c1_ <= 1) &
+                 (jnp.abs(c2_) <= s_e[1 - q]) & (zval <= marg))
+        pt = [lua[k] * 0.5 + c1_ * lub[k] * 0.5 for k in range(3)]
+        pt[q] = pt[q] + 0.5 * l_
+        pt[1 - q] = pt[1 - q] + 0.5 * c2_
+        e_pts.append(pt)
+        e_depth.append(pt[2] * innorm * 2.0)
+        e_valid.append(valid)
+  nl_cnt = sum(B(v) for v in e_valid)
+
+  # (b) rect corners against the projected quad: 4 slots
+  ax_, bx_ = pts_cn1[0], pts_cn2[0]
+  ay_, by_ = pts_cn1[1], pts_cn2[1]
+  det = ax_ * by_ - bx_ * ay_
+  cdet = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+  nf_cnt = zero
+  corner_accepts = []
+  corner_data = []
+  for i in range(4):
+    llx = lx_e if i // 2 else -lx_e
+    lly = ly_e if i % 2 else -ly_e
+    x = llx - pts_lp[0]
+    y = lly - pts_lp[1]
+    u = (x * by_ - y * bx_) * cdet
+    v = (y * ax_ - x * ay_) * cdet
+    inside_loose = ~(((u < 0) | (u > 1)) & ((v < 0) | (v > 1)))
+    inside_strict = (u >= 0) & (v >= 0) & (u <= 1) & (v <= 1)
+    accept = jnp.where(nl_cnt == 0, inside_loose, inside_strict)
+    uc = jnp.clip(u, 0.0, 1.0)
+    vc = jnp.clip(v, 0.0, 1.0)
+    wc = 1.0 - uc - vc
+    vtmp = [quad[0][k] * wc + quad[1][k] * uc + quad[2][k] * vc
+            for k in range(3)]
+    ptc = [llx, lly, zero]
+    dvec = [ptc[k] - vtmp[k] for k in range(3)]
+    tc1 = dvec[0] ** 2 + dvec[1] ** 2 + dvec[2] ** 2
+    accept = accept & ~((vtmp[2] > 0) & (tc1 > marg * marg))
+    corner_accepts.append(accept)
+    corner_data.append((ptc, vtmp, tc1))
+  nf_cnt = sum(B(a) for a in corner_accepts)
+  for accept, (ptc, vtmp, tc1) in zip(corner_accepts, corner_data):
+    e_pts.append([0.5 * (ptc[k] + vtmp[k]) for k in range(3)])
+    e_depth.append(jnp.sqrt(jnp.maximum(tc1, 0.0)) *
+                   jnp.where(vtmp[2] < 0, -1.0, 1.0))
+    e_valid.append(accept)
+
+  # (c) projected box2-face corners against the rect: 4 slots
+  for i in range(4):
+    pui = quad[i]
+    x, y = pui[0], pui[1]
+    inside_loose = ~(((x < -lx_e) | (x > lx_e)) &
+                     ((y < -ly_e) | (y > ly_e)))
+    inside_strict = (x >= -lx_e) & (x <= lx_e) & (y >= -ly_e) & (
+        y <= ly_e)
+    accept = jnp.where((nl_cnt == 0) & (nf_cnt != 0), inside_loose,
+                       inside_strict)
+    c1v = zero
+    tmp_p = [x, y, zero]
+    for jq in range(2):
+      below = pui[jq] < -s_e[jq]
+      above = pui[jq] > s_e[jq]
+      c1v = c1v + jnp.where(below, (pui[jq] + s_e[jq]) ** 2,
+                            jnp.where(above, (pui[jq] - s_e[jq]) ** 2,
+                                      0.0))
+      tmp_p[jq] = jnp.where(below, -s_e[jq] * 0.5,
+                            jnp.where(above, s_e[jq] * 0.5, tmp_p[jq]))
+    c1v = c1v + (pui[2] * innorm) ** 2
+    accept = accept & ~((pui[2] > 0) & (c1v > marg * marg))
+    e_pts.append([(tmp_p[k] + pui[k]) * 0.5 for k in range(3)])
+    e_depth.append(jnp.sqrt(jnp.maximum(c1v, 0.0)) *
+                   jnp.where(pui[2] < 0, -1.0, 1.0))
+    e_valid.append(accept)
+
+  e_valid = [v & norm_ok for v in e_valid]
+  rw_e = m_mul(M1, rmT_e)
+  e_normal_loc = mv(rw_e, rnorm)
+  e_normal = [isign * e_normal_loc[k] for k in range(3)]
+  e_world = []
+  for pt in e_pts:
+    loc = [pt[0], pt[1], pt[2] + hz_e]
+    e_world.append([rw_e[3 * k] * loc[0] + rw_e[3 * k + 1] * loc[1] +
+                    rw_e[3 * k + 2] * loc[2] + P1[k] for k in range(3)])
+
+  # ---- combine + top-8 (collision_box.box_box tail) ----
+  is_face = axis_code < 12.0
+  depth24 = [jnp.where(is_face, f_depth[i], e_depth[i]) for i in range(24)]
+  world24 = [[jnp.where(is_face, f_world[i][k], e_world[i][k])
+              for k in range(3)] for i in range(24)]
+  valid24 = [jnp.where(is_face, f_valid[i], e_valid[i]) & ~fail
+             for i in range(24)]
+  normal = [jnp.where(is_face, f_normal[k], e_normal[k])
+            for k in range(3)]
+  fr9 = _make_frame_elem(normal[0], normal[1], normal[2])
+
+  keys = [jnp.where(valid24[i], -depth24[i], -3e38) for i in range(24)]
+  # stable descending ranks over the 24 candidates (top_k order)
+  ranks = [zero for _ in range(24)]
+  for i in range(24):
+    for j in range(i + 1, 24):
+      ge = B((keys[i] > keys[j]) | (keys[i] == keys[j]))
+      ranks[j] = ranks[j] + ge
+      ranks[i] = ranks[i] + 1.0 - ge
+
+  # slot selection batched over all pairs, then sliced per pair
+  slots = []
+  for s in range(8):
+    dist_s = zero
+    pos_s = [zero, zero, zero]
+    val_s = zero
+    for i in range(24):
+      pick = B(ranks[i] == float(s))
+      dist_s = dist_s + pick * depth24[i]
+      pos_s = [pos_s[k] + pick * world24[i][k] for k in range(3)]
+      val_s = val_s + pick * B(valid24[i])
+    ok_s = val_s > 0.5
+    slots.append((jnp.where(ok_s, dist_s, _BIG),
+                  [v * ok_s for v in pos_s]))
+  out = {}
+  for p, (g1, g2) in enumerate(pairs):
+    frame_p = jnp.concatenate([fv[p:p + 1] for fv in fr9], axis=0)
+    entries = []
+    for s in range(8):
+      dist_c = slots[s][0][p:p + 1]
+      pos_c = jnp.concatenate([v[p:p + 1] for v in slots[s][1]], axis=0)
+      entries.append((dist_c, pos_c, frame_p))
+    out[(g1, g2)] = entries
+  return out
+
+
+def _collide(t1, t2, p1, R1, p2, R2, s1, s2):
   """Lane-form primitive colliders; returns list of (dist, pos, frame9)
-  — one entry per contact candidate of the pair. z* are the frames'
-  third columns (the only orientation data these colliders need)."""
+  — one entry per contact candidate of the pair. R* are (9, L)
+  row-major rotation blocks. Mirrors collision_primitive.* lane for
+  lane (identical candidate order and math)."""
+  z1 = _rcol(R1, 2)
+  z2 = _rcol(R2, 2)
+  if (t1, t2) == (GeomType.PLANE, GeomType.BOX):
+    # collision_primitive.plane_box: the 4 deepest of the 8 corners,
+    # top_k order (depth-sorted, stable)
+    n = z1
+    dists, poss = [], []
+    for sx in (-1.0, 1.0):
+      for sy in (-1.0, 1.0):
+        for sz in (-1.0, 1.0):
+          loc = jnp.concatenate([
+              jnp.full((1, p1.shape[-1]), sx * s2[0], p1.dtype),
+              jnp.full((1, p1.shape[-1]), sy * s2[1], p1.dtype),
+              jnp.full((1, p1.shape[-1]), sz * s2[2], p1.dtype)], axis=0)
+          corner = p2 + _rvec(R2, loc)
+          dd = _dot3(corner - p1, n)
+          dists.append(dd)
+          poss.append(corner)
+    ranks = _stable_ranks([-dd for dd in dists])
+    frame = _make_frame(n)
+    out = []
+    for s in range(4):
+      dist_s = jnp.zeros_like(dists[0])
+      pos_s = jnp.zeros_like(poss[0])
+      for i in range(8):
+        pick = (ranks[i] == float(s)).astype(dists[0].dtype)
+        dist_s = dist_s + pick * dists[i]
+        pos_s = pos_s + pick * poss[i]
+      pos_s = pos_s - 0.5 * dist_s * n
+      out.append((dist_s, pos_s, frame))
+    return out
+  if (t1, t2) == (GeomType.SPHERE, GeomType.BOX):
+    # collision_primitive.sphere_box
+    c = _rtvec(R2, p1 - p2)
+    hx = jnp.full_like(c[0:1], s2[0])
+    hy = jnp.full_like(c[0:1], s2[1])
+    hz = jnp.full_like(c[0:1], s2[2])
+    ox, oy, oz, nx, ny, nz, sd = _point_box_sd(
+        c[0:1], c[1:2], c[2:3], hx, hy, hz)
+    dist = sd - s1[0]
+    n_world = _rvec(R2, jnp.concatenate([nx, ny, nz], axis=0))
+    closest = jnp.concatenate([ox, oy, oz], axis=0)
+    pos = p2 + _rvec(R2, closest) + 0.5 * dist * n_world
+    return [(dist, pos, _make_frame(-n_world))]
   if (t1, t2) == (GeomType.PLANE, GeomType.SPHERE):
     n = z1
     cdist = _dot3(p2 - p1, n)
@@ -225,9 +988,11 @@ def _build_static(m: Model, nconmax: int):
       for kk in range(k):
         cands.append((t1, t2, g1, g2, kk, pid))
   ne, nf, nl, stride, njmax = io_mod.efc_layout(m, nconmax)
-  assert ne == 0 and nf == 0
+  assert ne == 0
+  fr_dofs = [i for i in range(m.nv) if m.dof_hasfrictionloss[i]]
+  assert nf == len(fr_dofs)          # tendon friction gated by supports()
   limits = [j for j in range(m.njnt) if m.jnt_limited[j]]
-  return cands, limits, nl, stride, njmax
+  return cands, fr_dofs, limits, nf, nl, stride, njmax
 
 
 def make_contact_kernel(m: Model, nconmax: int):
@@ -235,7 +1000,7 @@ def make_contact_kernel(m: Model, nconmax: int):
   list. Returns a jitted callable:
   (qpos, qvel, geom_xpos, geom_xmat, subtree_com, cdof, ptab, scal)
   -> dict of contact-pool + efc outputs (batch-first)."""
-  cands, limits, nl, stride, njmax = _build_static(m, nconmax)
+  cands, fr_dofs, limits, nf, nl, stride, njmax = _build_static(m, nconmax)
   ncand = len(cands)
   K = nconmax
   nv, nb, ng = m.nv, m.nbody, max(m.ngeom, 1)
@@ -250,6 +1015,15 @@ def make_contact_kernel(m: Model, nconmax: int):
   geom_size_np = np.asarray(jax.device_get(m.geom_size))
   jnt_range_np = np.asarray(jax.device_get(m.jnt_range))
   jnt_margin_np = np.asarray(jax.device_get(m.jnt_margin))
+  # static per-candidate margins (box-box SAT needs them in-kernel)
+  from .. import collision_driver as _cdrv
+  _g1s = np.array([c[2] for c in cands])
+  _g2s = np.array([c[3] for c in cands])
+  _pids = np.array([c[5] for c in cands])
+  _condims = np.array([_cdrv._static_condim(m, c[2], c[3], c[5])
+                       for c in cands])
+  cand_margin_np = np.asarray(jax.device_get(
+      _cdrv._candidate_params(m, _g1s, _g2s, _condims, _pids)[4]))
 
   # per-candidate static rows used inside the kernel
   b1s = [geom_bodyid[c[2]] for c in cands]
@@ -283,6 +1057,7 @@ def make_contact_kernel(m: Model, nconmax: int):
     lim_meta.append((int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j]),
                      float(jnt_range_np[j][0]), float(jnt_range_np[j][1]),
                      float(jnt_margin_np[j]), j))
+  fr_disabled = bool(m.opt.disableflags & DisableBit.FRICTIONLOSS)
 
   def kernel(scal_ref, qpos_ref, qvel_ref, gx_ref, gm_ref, com_ref,
              cdof_ref, ptab_ref, lim_ref, dinv_ref,
@@ -299,19 +1074,34 @@ def make_contact_kernel(m: Model, nconmax: int):
     ptab_lo = ptab_ref[...] - ptab_hi
 
     # ---- narrowphase: all candidates, statically unrolled ----
+    cb_pairs = []
+    bb_pairs, bb_margins = [], []
+    for idx, (t1, t2, g1, g2, kk, pid) in enumerate(cands):
+      if kk > 0:
+        continue
+      if (t1, t2) == (GeomType.CAPSULE, GeomType.BOX):
+        cb_pairs.append((g1, g2))
+      elif (t1, t2) == (GeomType.BOX, GeomType.BOX):
+        bb_pairs.append((g1, g2))
+        bb_margins.append(float(cand_margin_np[idx]))
+    cb_results = (_capsule_box_batch(cb_pairs, gx_ref, gm_ref,
+                                     geom_size_np) if cb_pairs else {})
+    bb_results = (_box_box_batch(bb_pairs, bb_margins, gx_ref, gm_ref,
+                                 geom_size_np) if bb_pairs else {})
     ci = 0
     for (t1, t2, g1, g2, kk, pid) in cands:
       if kk > 0:
         continue  # slots kk>0 are filled by the kk==0 expansion below
       p1 = gx_ref[g1]
       p2 = gx_ref[g2]
-      z1 = jnp.concatenate([gm_ref[g1][2:3], gm_ref[g1][5:6],
-                            gm_ref[g1][8:9]], axis=0)
-      z2 = jnp.concatenate([gm_ref[g2][2:3], gm_ref[g2][5:6],
-                            gm_ref[g2][8:9]], axis=0)
       s1 = [float(x) for x in geom_size_np[g1]]
       s2 = [float(x) for x in geom_size_np[g2]]
-      outs = _collide(t1, t2, p1, z1, p2, z2, s1, s2)
+      if (t1, t2) == (GeomType.CAPSULE, GeomType.BOX):
+        outs = cb_results[(g1, g2)]
+      elif (t1, t2) == (GeomType.BOX, GeomType.BOX):
+        outs = bb_results[(g1, g2)]
+      else:
+        outs = _collide(t1, t2, p1, gm_ref[g1], p2, gm_ref[g2], s1, s2)
       for (dist, pos, fr) in outs:
         dist_scr[ci] = dist[0]
         pos_scr[ci] = pos
@@ -325,13 +1115,46 @@ def make_contact_kernel(m: Model, nconmax: int):
     for c in range(ncand):
       marg = ptab_ref[P_MARGIN, c]
       active = (dist_scr[c] < marg).astype(dt)
-      key_scr[c] = jnp.where(active > 0.5, nactive[0], float(ncand + 1))
+      # inactive sentinel must never equal a slot index in [0, K)
+      key_scr[c] = jnp.where(active > 0.5, nactive[0], -1.0)
       nactive = nactive + active[None]
     ncoll_out[...] = nactive.astype(jnp.int32)
 
-    # ---- limit rows (rows 0..nl-1) ----
+    # ---- dof-friction rows (rows 0..nf-1; layout: ne|nf|nl|contacts,
+    # reference constraint row order — constraint.py friction group) ----
     zero_nv = jnp.zeros((nv, L), dt)
-    for li, (qadr, dadr, lo, hi, lmargin, jid) in enumerate(lim_meta):
+    one_l = jnp.ones((1, L), dt)
+    for fi, dadr in enumerate(fr_dofs):
+      sr = lim_ref[fi, 0:2][:, None] * one_l
+      si = lim_ref[fi, 2:7][:, None] * one_l
+      invw = lim_ref[fi, 7:8][:, None] * one_l
+      flv = lim_ref[fi, 8:9][:, None] * one_l
+      k, b, imp = _kbi(sr, si, jnp.zeros((1, L), dt), timestep, refsafe)
+      act = 0.0 if fr_disabled else 1.0
+      dval = 1.0 / jnp.maximum(invw * (1.0 - imp) / imp, _MINVAL) * act
+      vel = qvel_ref[dadr:dadr + 1]
+      aref = (-b * vel) * act
+      parts = []
+      if dadr > 0:
+        parts.append(jnp.zeros((dadr, L), dt))
+      parts.append(one_l * act)
+      if dadr < nv - 1:
+        parts.append(jnp.zeros((nv - dadr - 1, L), dt))
+      efcj_out[fi] = jnp.concatenate(parts, axis=0)
+      efcd_out[fi] = dval[0]
+      efcaref_out[fi] = aref[0]
+      efcpos_out[fi] = jnp.zeros((L,), dt)
+      efcmargin_out[fi] = jnp.zeros((L,), dt)
+      efcvel_out[fi] = vel[0]
+      efcfl_out[fi] = flv[0] * act
+      efctype_out[fi] = jnp.full((L,), ConstraintType.FRICTION_DOF,
+                                 jnp.int32)
+      efcid_out[fi] = jnp.full((L,), dadr, jnp.int32)
+      efcact_out[fi] = jnp.full((L,), 0 if fr_disabled else 1, jnp.int32)
+
+    # ---- limit rows (rows nf..nf+nl-1) ----
+    for li0, (qadr, dadr, lo, hi, lmargin, jid) in enumerate(lim_meta):
+      li = nf + li0
       q = qpos_ref[qadr:qadr + 1]
       dist_min = q - lo
       dist_max = hi - q
@@ -445,7 +1268,7 @@ def make_contact_kernel(m: Model, nconmax: int):
       si = pvals[P_SOLIMP:P_SOLIMP + 5]
       k, b, imp = _kbi(sr, si, posv, timestep, refsafe)
 
-      base = nl + s * stride
+      base = nf + nl + s * stride
       for r in range(stride):
         kidx = r // 2 + 1
         sign = 1.0 if r % 2 == 0 else -1.0
@@ -495,7 +1318,7 @@ def make_contact_kernel(m: Model, nconmax: int):
 
     ncon_out[...] = jnp.minimum(ncon, float(K)).astype(jnp.int32)
     # pad rows beyond layout with zeros
-    for row in range(nl + K * stride, njmax):
+    for row in range(nf + nl + K * stride, njmax):
       efcj_out[row] = zero_nv
       efcd_out[row] = jnp.zeros((L,), dt)
       efcaref_out[row] = jnp.zeros((L,), dt)
@@ -507,7 +1330,8 @@ def make_contact_kernel(m: Model, nconmax: int):
       efcid_out[row] = jnp.zeros((L,), jnp.int32)
       efcact_out[row] = jnp.zeros((L,), jnp.int32)
 
-  meta = dict(cands=cands, limits=limits, lim_meta=lim_meta, nl=nl,
+  meta = dict(cands=cands, limits=limits, lim_meta=lim_meta,
+              fr_dofs=fr_dofs, nf=nf, nl=nl,
               stride=stride, njmax=njmax, ncand=ncand, K=K, P=P,
               P_FR=P_FR, P_SOLREF=P_SOLREF, P_SOLIMP=P_SOLIMP,
               P_MARGIN=P_MARGIN, P_INCL=P_INCL, P_CONDIM=P_CONDIM,
@@ -557,14 +1381,21 @@ def _ptab(m: Model, meta) -> jax.Array:
 
 
 def _lim_tab(m: Model, meta) -> jax.Array:
-  """(nlim, 8) per-limit params: solref2, solimp5, invweight."""
+  """(nf + nlim, 9) per-row params: friction rows first (solref2,
+  solimp5, invweight, frictionloss), then limit rows (frictionloss
+  column zero)."""
   rows = []
+  for dadr in meta['fr_dofs']:
+    rows.append(jnp.concatenate([
+        m.dof_solref[dadr], m.dof_solimp[dadr],
+        m.dof_invweight0[dadr][None], m.dof_frictionloss[dadr][None]]))
   for (qadr, dadr, lo, hi, lmargin, j) in meta['lim_meta']:
     rows.append(jnp.concatenate([
         m.jnt_solref[j], m.jnt_solimp[j],
-        m.dof_invweight0[dadr][None]]))
+        m.dof_invweight0[dadr][None],
+        jnp.zeros((1,), jnp.float32)]))
   if not rows:
-    return jnp.zeros((1, 8), jnp.float32)
+    return jnp.zeros((1, 9), jnp.float32)
   return jnp.stack(rows)
 
 
@@ -578,7 +1409,7 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
   nq = m.nq
   ncand, K = meta['ncand'], meta['K']
   nl, njmax, stride = meta['nl'], meta['njmax'], meta['stride']
-  nlim = max(len(meta['lim_meta']), 1)
+  nfl = max(meta['nf'] + len(meta['lim_meta']), 1)
 
   bl = lambda x: jnp.moveaxis(x, 0, -1)
   pad = lambda x: (jnp.pad(x, ((0, 0),) * (x.ndim - 1) +
@@ -604,7 +1435,7 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
                                     memory_space=vm)
   in_specs = [const((2, 1)), lane2(nq), lane2(nv), lane3(ng, 3),
               lane3(ng, 9), lane3(nb, 3), lane3(nv, 6),
-              const((meta['P'], ncand)), const((nlim, 8)), const((1, 1))]
+              const((meta['P'], ncand)), const((nfl, 9)), const((1, 1))]
   out_meta = [
       ('con_dist', (K,), dt), ('con_pos', (K, 3), dt),
       ('con_frame', (K, 9), dt), ('con_friction', (K, 5), dt),
@@ -644,7 +1475,8 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
 
   t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
   o = {name: t2(v) for (name, _, _), v in zip(out_meta, outs)}
-  efc_address = nl + stride * jnp.arange(K, dtype=jnp.int32)
+  nf = meta['nf']
+  efc_address = nf + nl + stride * jnp.arange(K, dtype=jnp.int32)
   valid = o['con_geom'][:, :, 0] >= 0
   con = d.contact.replace(
       dist=o['con_dist'], pos=o['con_pos'],
@@ -655,13 +1487,14 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
       geom=o['con_geom'],
       efc_address=jnp.where(valid, efc_address[None, :], -1))
   zero = jnp.zeros((W,), jnp.int32)
-  nl_count = jnp.sum(o['efc_active'][:, :nl], axis=-1)
+  nf_count = jnp.sum(o['efc_active'][:, :nf], axis=-1)
+  nl_count = jnp.sum(o['efc_active'][:, nf:nf + nl], axis=-1)
   return d.replace(
       contact=con, ncon=o['ncon'][:, 0], ncollision=o['ncollision'][:, 0],
       efc_J=o['efc_J'], efc_D=o['efc_D'], efc_aref=o['efc_aref'],
       efc_pos=o['efc_pos'], efc_margin=o['efc_margin'],
       efc_vel=o['efc_vel'], efc_frictionloss=o['efc_frictionloss'],
       efc_type=o['efc_type'], efc_id=o['efc_id'],
-      efc_active=o['efc_active'].astype(bool), ne=zero, nf=zero,
+      efc_active=o['efc_active'].astype(bool), ne=zero, nf=nf_count,
       nl=nl_count,
       nefc=jnp.sum(o['efc_active'], axis=-1))

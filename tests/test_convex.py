@@ -135,3 +135,41 @@ def test_margin_band_contact():
   ours = np.sort(np.asarray(d.contact.dist)[:n])[0]
   ref = np.sort(mjd.contact.dist)[0]
   np.testing.assert_allclose(ours, ref, atol=3e-3)
+
+
+def test_separated_lateral_offset_no_contact():
+  """Regression: a small convex body ABOVE a large flat one, laterally
+  offset so the center axis v0 is nearly parallel to the separating
+  plane. A flip-by-dot(n, v0) portal orientation walks the portal to
+  the far face of the CSO and reports ~0.65 m fake penetration (seen
+  on aloha mesh scenes); the winding-invariant MPR must report no
+  contact (C MuJoCo: 0 contacts, separation ~ +0.126)."""
+  xml = _xml(
+      CUBE_MESH,
+      'type="box" size="0.61 0.37 0.1" pos="0 0 -0.099"',
+      'type="mesh" mesh="cube" mass="0.1"', '0 0.176 0.23',
+      '30 0 90')
+  mjm, mjd, m, d = fixture(xml)
+  assert mjd.ncon == 0  # oracle: separated
+  d = mjwt.fwd_position(m, d)
+  n = int(d.ncon)
+  dists = np.asarray(d.contact.dist)[:n]
+  assert np.all(dists > 0), f'fake penetration: {dists}'
+
+
+def test_separated_stack_sweep_no_contact():
+  """Sweep a small box over a large table at +3 cm clearance: no
+  position may produce a contact (MPR false-positive sweep)."""
+  import jax
+  for dx, dy in [(0.0, 0.0), (0.3, 0.0), (0.55, 0.3), (-0.5, -0.35),
+                 (0.1, 0.36), (-0.6, 0.1)]:
+    xml = _xml(
+        '', 'type="box" size="0.61 0.37 0.1" pos="0 0 -0.099"',
+        'type="cylinder" size="0.05 0.02" mass="0.1"',
+        f'{dx} {dy} 0.051', '10 5 0')
+    mjm, mjd, m, d = fixture(xml)
+    assert mjd.ncon == 0, (dx, dy)
+    d = mjwt.fwd_position(m, d)
+    n = int(d.ncon)
+    dists = np.asarray(d.contact.dist)[:n]
+    assert np.all(dists > 0), (dx, dy, dists)

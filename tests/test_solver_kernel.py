@@ -90,3 +90,76 @@ def test_solver_kernel_humanoid_parity():
     assert np.abs(a - b).max() / scale < 1e-4, k
   assert abs(float(jnp.mean(fused.solver_niter)) -
              float(jnp.mean(xla.solver_niter))) < 0.05
+
+
+def test_solver_kernel_interpret_frictionloss_parity():
+  """Friction rows (nf>0): interpret-mode fused solve matches the XLA
+  Newton solver on a frictionloss scene (apollo-class row layout)."""
+  import mujoco
+  import mujoco_warp_tpu as mjwt
+  from mujoco_warp_tpu import parallel, io as io_mod
+  import mujoco_warp_tpu.solver as S
+  from mujoco_warp_tpu.pallas import solver_kernels
+  import importlib
+  fwd = importlib.import_module('mujoco_warp_tpu.forward')
+  from mujoco_warp_tpu import collision_driver, constraint, smooth, passive
+
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <worldbody>
+      <geom type="plane" size="2 2 0.1"/>
+      <body pos="0 0 0.0999">
+        <joint type="slide" axis="0 0 1" range="-1 1" limited="true"
+               frictionloss="0.4" damping="0.1"/>
+        <joint type="slide" axis="1 0 0" frictionloss="0.6"/>
+        <geom type="sphere" size="0.1" mass="1.0"/>
+      </body>
+      <body pos="0.5 0 0.18">
+        <joint type="hinge" axis="0 1 0" frictionloss="0.7"/>
+        <geom type="capsule" size="0.05 0.1" mass="0.5"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjwt.put_model(mjm)
+  d = mjwt.make_data(m, nconmax=6)
+  W = 8
+  batch = parallel.make_batch(m, d, W, qpos_noise=0.003)
+  batch = batch.replace(qvel=batch.qvel.at[:, 1].set(
+      jnp.asarray(np.linspace(-0.4, 0.4, W), jnp.float32)))
+  vm = lambda fn: jax.vmap(lambda dd: fn(m, dd))
+
+  def pre_solve(b):
+    b = vm(smooth.kinematics)(b)
+    b = vm(smooth.com_pos)(b)
+    b = vm(smooth.crb)(b)
+    b = vm(collision_driver.collision)(b)
+    b = vm(constraint.make_constraint)(b)
+    b = vm(smooth.rne)(b)
+    b = vm(passive.passive)(b)
+    qfrc_smooth = jax.vmap(
+        lambda dd: (dd.qfrc_passive - dd.qfrc_bias + dd.qfrc_applied +
+                    dd.qfrc_actuator))(b)
+    qacc_smooth, qld = S.spd_solve_factor(m, b.qM, qfrc_smooth)
+    return b.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
+                     qLD=qld)
+
+  pre = jax.jit(pre_solve)(batch)
+  xla = jax.jit(lambda b: S.solve(m, b))(pre)
+
+  ne, nf, nl, stride, _ = io_mod.efc_layout(m, 6)
+  assert nf == 3
+  out = solver_kernels.newton_solve_batched(
+      pre.qM, pre.efc_J, pre.efc_D, pre.efc_aref, pre.efc_frictionloss,
+      pre.qfrc_smooth, pre.qacc_warmstart, m.opt.tolerance,
+      m.stat.meaninertia, None, ne=ne, nf=nf,
+      iterations=int(m.opt.iterations), use_ws=True, euler_damp=False,
+      interpret=True)
+  qacc, qfc, force, niter, _, _, _ = out
+  a, b = np.asarray(qacc), np.asarray(xla.qacc)
+  scale = max(np.abs(b).max(), 1.0)
+  assert np.abs(a - b).max() / scale < 2e-4, (a, b)
+  a, b = np.asarray(force), np.asarray(xla.efc_force)
+  scale = max(np.abs(b).max(), 1.0)
+  assert np.abs(a - b).max() / scale < 2e-3, 'efc_force'
