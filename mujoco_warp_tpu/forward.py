@@ -421,7 +421,7 @@ def step(m: Model, d: Data, control_fn=None, passive_fn=None,
 
 
 @named('fwd_smooth')
-def _smooth_mega_batched(m: Model, d: Data) -> Data:
+def _smooth_mega_batched(m: Model, d: Data, interpret: bool = False) -> Data:
   """The smooth front AND velocity-stage tree math in ONE Pallas
   worlds-in-lanes kernel: kinematics, frames, com_pos, crb, com_vel,
   rne (pallas/smooth_kernels._smooth_mega_kernel). This replaces the
@@ -431,8 +431,23 @@ def _smooth_mega_batched(m: Model, d: Data) -> Data:
   outs = smooth_kernels.smooth_mega_batched(
       m, qpos, d.qvel,
       d.mocap_pos if m.nmocap else None,
-      d.mocap_quat if m.nmocap else None)
+      d.mocap_quat if m.nmocap else None,
+      interpret=interpret)
   return d.replace(qpos=qpos, **outs)
+
+
+def _mega_gates(m: Model):
+  """(use_mega, interpret): whether forward_batched runs the Pallas
+  megakernel path, and whether the kernels run in interpret mode.
+  MJWT_FORCE_MEGA=1 forces the path on non-TPU backends (interpret
+  mode) so CPU CI can execute the exact code the TPU bench runs."""
+  import os as _os
+  _mega_cap = int(_os.environ.get('MJWT_MEGA_NV_CAP', '64'))
+  on_tpu = jax.default_backend() == 'tpu'
+  force = _os.environ.get('MJWT_FORCE_MEGA', '0') == '1'
+  use_mega = ((on_tpu or force) and
+              0 < m.nv <= _mega_cap and m.nbody <= 2 * _mega_cap)
+  return use_mega, force and not on_tpu
 
 
 def forward_batched(m: Model, d: Data) -> Data:
@@ -444,12 +459,9 @@ def forward_batched(m: Model, d: Data) -> Data:
   # kernel grows superlinearly with the tree size — a 3-humanoid scene
   # (nv=81) sat in the remote compiler for hours. Past the cap the XLA
   # path compiles in minutes and is the better trade.
-  import os as _os
-  _mega_cap = int(_os.environ.get('MJWT_MEGA_NV_CAP', '64'))
-  use_mega = (jax.default_backend() == 'tpu' and
-              0 < m.nv <= _mega_cap and m.nbody <= 2 * _mega_cap)
+  use_mega, interp = _mega_gates(m)
   if use_mega:
-    d = _smooth_mega_batched(m, d)
+    d = _smooth_mega_batched(m, d, interpret=interp)
     if m.ncam or m.nlight:
       d = vm(smooth.camlight)(d)
     if m.ntendon:
@@ -461,7 +473,7 @@ def forward_batched(m: Model, d: Data) -> Data:
         contact_kernels.supports(m, d)):
       # collision + constraint assembly fused into one Pallas kernel
       kernel, meta = contact_kernels.make_contact_kernel(m, nconmax)
-      d = contact_kernels.contact_efc(m, d, kernel, meta)
+      d = contact_kernels.contact_efc(m, d, kernel, meta, interpret=interp)
     else:
       if m.opt.run_collision_detection:
         d = vm(collision_driver.collision)(d)

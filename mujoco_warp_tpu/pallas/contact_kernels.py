@@ -995,11 +995,27 @@ def _build_static(m: Model, nconmax: int):
   return cands, fr_dofs, limits, nf, nl, stride, njmax
 
 
+# Kernel closures are expensive to build (static unroll over the pair
+# list) and MUST be built from numpy-only statics: make_contact_kernel is
+# called from inside the jit trace of step_batched, where any jnp op —
+# even on concrete closed-over Model arrays — stages out to a tracer
+# (round-2 bench crash, BENCH_r02.json). The cache also stops per-retrace
+# rebuilds. Values keep a strong ref to the Model so ids can't be reused.
+_KERNEL_CACHE: dict = {}
+
+
 def make_contact_kernel(m: Model, nconmax: int):
   """Builds (kernel_fn, wrapper_meta) for this model's static pair
   list. Returns a jitted callable:
   (qpos, qvel, geom_xpos, geom_xmat, subtree_com, cdof, ptab, scal)
-  -> dict of contact-pool + efc outputs (batch-first)."""
+  -> dict of contact-pool + efc outputs (batch-first).
+
+  All statics are computed with numpy (never jnp): this function runs
+  inside jit traces, where jnp ops on concrete arrays become tracers."""
+  key = (id(m), nconmax)
+  hit = _KERNEL_CACHE.get(key)
+  if hit is not None and hit[0] is m:
+    return hit[1], hit[2]
   cands, fr_dofs, limits, nf, nl, stride, njmax = _build_static(m, nconmax)
   ncand = len(cands)
   K = nconmax
@@ -1015,15 +1031,18 @@ def make_contact_kernel(m: Model, nconmax: int):
   geom_size_np = np.asarray(jax.device_get(m.geom_size))
   jnt_range_np = np.asarray(jax.device_get(m.jnt_range))
   jnt_margin_np = np.asarray(jax.device_get(m.jnt_margin))
-  # static per-candidate margins (box-box SAT needs them in-kernel)
-  from .. import collision_driver as _cdrv
-  _g1s = np.array([c[2] for c in cands])
-  _g2s = np.array([c[3] for c in cands])
-  _pids = np.array([c[5] for c in cands])
-  _condims = np.array([_cdrv._static_condim(m, c[2], c[3], c[5])
-                       for c in cands])
-  cand_margin_np = np.asarray(jax.device_get(
-      _cdrv._candidate_params(m, _g1s, _g2s, _condims, _pids)[4]))
+  # static per-candidate margins (box-box SAT needs them in-kernel) —
+  # pure numpy, mirroring _candidate_params' margin mixing (max of geom
+  # margins; explicit <pair> candidates take pair_margin)
+  _g1s = np.array([c[2] for c in cands], np.int64)
+  _g2s = np.array([c[3] for c in cands], np.int64)
+  _pids = np.array([c[5] for c in cands], np.int64)
+  geom_margin_np = np.asarray(jax.device_get(m.geom_margin))
+  cand_margin_np = np.maximum(geom_margin_np[_g1s], geom_margin_np[_g2s])
+  if (_pids >= 0).any():
+    pair_margin_np = np.asarray(jax.device_get(m.pair_margin))
+    cand_margin_np = np.where(
+        _pids >= 0, pair_margin_np[np.maximum(_pids, 0)], cand_margin_np)
 
   # per-candidate static rows used inside the kernel
   b1s = [geom_bodyid[c[2]] for c in cands]
@@ -1339,6 +1358,9 @@ def make_contact_kernel(m: Model, nconmax: int):
               P_G1=P_G1, P_G2=P_G2, P_ROOT1=P_ROOT1, P_ROOT2=P_ROOT2,
               distinct_roots=distinct_roots, b1s=b1s, b2s=b2s,
               root1=root1, root2=root2, dof_anc=dof_anc)
+  if len(_KERNEL_CACHE) > 16:
+    _KERNEL_CACHE.clear()
+  _KERNEL_CACHE[key] = (m, kernel, meta)
   return kernel, meta
 
 

@@ -501,7 +501,9 @@ def uses_fused_kernel(m: Model, d: Data) -> bool:
   if os.environ.get('MJWT_FUSED_SOLVER', '1') == '0':
     return False
   njmax = d.efc_J.shape[-2]
-  return (jax.default_backend() == 'tpu' and d.qpos.ndim == 2 and
+  backend_ok = (jax.default_backend() == 'tpu' or
+                os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
+  return (backend_ok and d.qpos.ndim == 2 and
           m.opt.solver == SolverType.NEWTON and
           m.opt.cone == ConeType.PYRAMIDAL and m.opt.ls_parallel and
           0 < m.nv <= 32 and njmax > 0 and m.opt.iterations > 0 and
@@ -531,13 +533,16 @@ def solve(m: Model, d: Data) -> Data:
                   m.has_damping and
                   not (m.opt.disableflags & DisableBit.EULERDAMP))
     hb = (m.opt.timestep * m.dof_damping) if euler_damp else None
+    import os as _os
+    interp = (jax.default_backend() != 'tpu' and
+              _os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
     qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = (
         solver_kernels.newton_solve_batched(
             d.qM, d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
             d.qfrc_smooth, d.qacc_warmstart, m.opt.tolerance,
             m.stat.meaninertia, hb, ne=ne, nf=nf,
             iterations=m.opt.iterations, use_ws=use_ws,
-            euler_damp=euler_damp))
+            euler_damp=euler_damp, interpret=interp))
     return d.replace(qacc=qacc, qfrc_constraint=qfc, efc_force=force,
                      solver_niter=niter, qacc_smooth=qacc_smooth,
                      qLD=qld, qacc_euler=qacc_euler)
