@@ -28,10 +28,10 @@ def main():
 
   mjm = mujoco.MjModel.from_xml_path(models.HUMANOID)
   m = mjwt.put_model(mjm)
-  # per-world contact pool: observed max is 8 on this protocol; 16 keeps
-  # 2x headroom and njmax=84 rows/world (reference config runs njmax=64,
-  # benchmarks/README.md:56)
-  d = mjwt.make_data(m, nconmax=int(os.environ.get('BENCH_NCONMAX', 16)))
+  # protocol-faithful default: the reference config runs nconmax=24
+  # (benchmarks/config.txt:22, benchmarks/README.md:56); BENCH_NCONMAX
+  # overrides for tuned secondary runs
+  d = mjwt.make_data(m, nconmax=int(os.environ.get('BENCH_NCONMAX', 24)))
   batch = parallel.make_batch(m, d, nworld)
 
   # shard over all local devices (one chip locally; a pod slice scales

@@ -222,7 +222,7 @@ def _fwd_acceleration_batched(m: Model, d: Data) -> Data:
     # the fused Pallas Newton solver computes qacc_smooth and the qM
     # factor in-kernel — don't pay a second factorization here
     return d.replace(qfrc_smooth=qfrc_smooth)
-  qacc_smooth, qld = solver_mod.spd_solve_factor(m, d.qM, qfrc_smooth)
+  qacc_smooth, qld = solver_mod.m_solve_factor(m, d.qM, qfrc_smooth)
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
                    qLD=qld)
 
@@ -512,10 +512,11 @@ def _euler_batched(m: Model, d: Data) -> Data:
       # the fused Newton kernel already solved (qM + h diag(B)) qacc'
       qacc = d.qacc_euler
     else:
-      damp = jnp.diag(m.opt.timestep * m.dof_damping)
-      mh = d.qM + damp[None]
       qfrc = d.qfrc_smooth + d.qfrc_constraint
-      qacc = solver_mod.spd_solve(m, mh, qfrc)
+      # (qM + h diag(B)) keeps tree sparsity — the tree-LDL kernel adds
+      # the diagonal in-kernel without materializing mh
+      qacc, _ = solver_mod.m_solve_factor(
+          m, d.qM, qfrc, diag=m.opt.timestep * m.dof_damping)
   return jax.vmap(lambda dd, qa: _advance(m, dd, dd.act_dot, qa))(d, qacc)
 
 

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -174,5 +175,183 @@ def cho_solve_batched(l: jax.Array, b: jax.Array) -> jax.Array:
       out_specs=pl.BlockSpec((nv, LANES), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((nv, wpad), l.dtype),
+  )(lt, bt)
+  return jnp.moveaxis(x[:, :w], -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# tree-sparse LDL (M = L^T D L over the kinematic tree)
+# ---------------------------------------------------------------------------
+#
+# The joint-space mass matrix has tree sparsity: M[i, j] != 0 only when
+# j is an ancestor of i in the dof tree. LDL^T in reverse topological
+# order factors with ZERO fill-in (reference exploits this with a
+# level-scheduled CSR factorization, mujoco_warp/_src/smooth.py:1017;
+# C MuJoCo mj_factorM). The worlds-in-lanes form here unrolls the
+# static (k, ancestor) schedule — O(sum_k depth(k)) row FMAs instead of
+# O(nv^3/6) — which is what makes nv ~ 80+ scenes (three_humanoids)
+# viable in Mosaic: ~500 vector statements instead of ~88k.
+#
+# Trick that removes all masking: updates use FULL (nv, L) row FMAs.
+# For j <= rowidx the update lands exactly where the sparse algorithm
+# writes; for j > rowidx it writes garbage into the STRICT UPPER
+# triangle, which no consumer ever reads (factor rows store L at
+# ancestor columns + D on the diagonal; the solves read only those).
+
+
+def dof_ancestors(dof_parentid) -> tuple:
+  """Static ancestor chains (descending index order) per dof."""
+  anc = []
+  for k in range(len(dof_parentid)):
+    chain = []
+    i = int(dof_parentid[k])
+    while i >= 0:
+      chain.append(i)
+      i = int(dof_parentid[i])
+    anc.append(tuple(chain))
+  return tuple(anc)
+
+
+def ldl_factor_rows(anc, md_ref):
+  """In-place tree LDL on md_ref (nv, nv, L): row k ends with L[k, i]
+  at ancestor columns i, D[k] on the diagonal, garbage strictly above.
+  Callable from other Mosaic kernel bodies (fused Newton solver)."""
+  nv = len(anc)
+  col = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+  for k in range(nv - 1, -1, -1):
+    if not anc[k]:
+      continue
+    rowk = md_ref[k]                       # (nv, L), final for this k
+    inv_dk = 1.0 / jnp.maximum(rowk[k], 1e-15)
+    lrow = rowk
+    for i in anc[k]:
+      c = rowk[i] * inv_dk                 # (L,)
+      md_ref[i] = md_ref[i] - c[None, :] * rowk
+      lrow = jnp.where(col == i, c[None, :], lrow)
+    md_ref[k] = lrow
+
+
+def ldl_solve_rows(anc, ld_ref, b_rows):
+  """Solve (L^T D L) x = b from the packed factor. b_rows: list of nv
+  (L,) values; returns list of nv (L,) values (value-carried — no ref
+  read-after-write serialization)."""
+  nv = len(anc)
+  xs = list(b_rows)
+  rows = [ld_ref[k] for k in range(nv)]
+  for k in range(nv - 1, -1, -1):          # L^T z = b
+    for i in anc[k]:
+      xs[i] = xs[i] - rows[k][i] * xs[k]
+  for k in range(nv):                      # y = z / D
+    xs[k] = xs[k] / jnp.maximum(rows[k][k], 1e-15)
+  for k in range(nv):                      # L x = y
+    for i in anc[k]:
+      xs[k] = xs[k] - rows[k][i] * xs[i]
+  return xs
+
+
+def _tree_ldl_kernel(anc, a_ref, b_ref, diag_ref, x_ref, ld_ref):
+  nv = len(anc)
+  ri = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0)
+  ci = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1)
+  dmask = (ri == ci).astype(a_ref.dtype)   # (nv, nv, 1) diagonal mask
+  ld_ref[...] = a_ref[...] + dmask * diag_ref[...][:, :, None]
+  ldl_factor_rows(anc, ld_ref)
+  nv = len(anc)
+  xs = ldl_solve_rows(anc, ld_ref, [b_ref[k] for k in range(nv)])
+  x_ref[...] = jnp.stack(xs, axis=0)
+
+
+def _tree_solve_kernel(anc, ld_ref, b_ref, x_ref):
+  nv = len(anc)
+  xs = ldl_solve_rows(anc, ld_ref, [b_ref[k] for k in range(nv)])
+  x_ref[...] = jnp.stack(xs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=('parentid', 'return_factor',
+                                             'interpret'))
+def tree_ldl_solve_batched(a: jax.Array, b: jax.Array, parentid: tuple,
+                           diag: jax.Array | None = None,
+                           return_factor: bool = False,
+                           interpret: bool = False):
+  """Solve (A[w] + diag(extra)) x[w] = b[w] via tree-sparse LDL.
+
+  a: (W, nv, nv) with kinematic-tree sparsity given by dof parentid,
+  b: (W, nv), diag: optional (nv,) added to the diagonal (Euler damping
+  — tree sparsity is preserved). Returns x (W, nv) (and the packed
+  (W, nv, nv) LD factor if return_factor)."""
+  w, nv, _ = a.shape
+  anc = dof_ancestors(parentid)
+  wpad = -(-w // LANES) * LANES
+  at = jnp.moveaxis(a, 0, -1)
+  bt = jnp.moveaxis(b, 0, -1)
+  if wpad != w:
+    eye3 = jnp.eye(nv, dtype=a.dtype)[:, :, None]
+    pad_mask = jnp.arange(wpad) >= w
+    at = jnp.where(pad_mask[None, None, :], eye3,
+                   jnp.pad(at, ((0, 0), (0, 0), (0, wpad - w))))
+    bt = jnp.pad(bt, ((0, 0), (0, wpad - w)))
+  dvec = (jnp.zeros((nv, 1), a.dtype) if diag is None
+          else diag.astype(a.dtype).reshape(nv, 1))
+  kernel = functools.partial(_tree_ldl_kernel, anc)
+  x, ld = pl.pallas_call(
+      kernel,
+      grid=(wpad // LANES,),
+      interpret=interpret,
+      in_specs=[
+          pl.BlockSpec((nv, nv, LANES), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, LANES), lambda i: (0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, 1), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((nv, LANES), lambda i: (0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, nv, LANES), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((nv, wpad), a.dtype),
+          jax.ShapeDtypeStruct((nv, nv, wpad), a.dtype),
+      ],
+  )(at, bt, dvec)
+  x = jnp.moveaxis(x[:, :w], -1, 0)
+  if return_factor:
+    return x, jnp.moveaxis(ld[:, :, :w], -1, 0)
+  return x
+
+
+@functools.partial(jax.jit, static_argnames=('parentid', 'interpret'))
+def tree_solve_from_factor_batched(ld: jax.Array, b: jax.Array,
+                                   parentid: tuple,
+                                   interpret: bool = False) -> jax.Array:
+  """Solve from a packed tree-LDL factor (W, nv, nv) as returned by
+  tree_ldl_solve_batched(return_factor=True)."""
+  w, nv, _ = ld.shape
+  anc = dof_ancestors(parentid)
+  wpad = -(-w // LANES) * LANES
+  lt = jnp.moveaxis(ld, 0, -1)
+  bt = jnp.moveaxis(b, 0, -1)
+  if wpad != w:
+    eye3 = jnp.eye(nv, dtype=ld.dtype)[:, :, None]
+    pad_mask = jnp.arange(wpad) >= w
+    lt = jnp.where(pad_mask[None, None, :], eye3,
+                   jnp.pad(lt, ((0, 0), (0, 0), (0, wpad - w))))
+    bt = jnp.pad(bt, ((0, 0), (0, wpad - w)))
+  kernel = functools.partial(_tree_solve_kernel, anc)
+  x = pl.pallas_call(
+      kernel,
+      grid=(wpad // LANES,),
+      interpret=interpret,
+      in_specs=[
+          pl.BlockSpec((nv, nv, LANES), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, LANES), lambda i: (0, i),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((nv, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((nv, wpad), ld.dtype),
   )(lt, bt)
   return jnp.moveaxis(x[:, :w], -1, 0)

@@ -56,10 +56,32 @@ class _Ctx:
   done: jax.Array
 
 
+def _pallas_ok() -> tuple:
+  """(run Pallas lane kernels?, interpret mode?)."""
+  import os
+  on_tpu = jax.default_backend() == 'tpu'
+  force = os.environ.get('MJWT_FORCE_MEGA', '0') == '1'
+  return on_tpu or force, force and not on_tpu
+
+
+def _tree_ldl_ok(m: Model, nv: int) -> bool:
+  """Use the tree-sparse LDL kernel for M-structured solves: above the
+  dense values-kernel sweet spot, the O(sum depth) schedule beats the
+  O(nv^2) dense column loop AND keeps Mosaic compile time linear
+  (reference sparse path: smooth.py:1017-1104)."""
+  import os
+  if os.environ.get('MJWT_TREE_LDL', '1') == '0':
+    return False
+  return nv > 32 and len(m.dof_parentid) == nv
+
+
 def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
   """SPD solve, dispatched: Pallas lane-batched kernel on TPU for
   batched inputs, unrolled scalar version otherwise (LAPACK-style
-  jnp.linalg above nv=32, where unrolling blows up compile time)."""
+  jnp.linalg above nv=32, where unrolling blows up compile time).
+
+  NOTE: for M-structured matrices prefer m_solve_* (tree-sparse LDL);
+  this entry serves general SPD systems (Newton Hessians)."""
   if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 96:
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b)
@@ -68,6 +90,34 @@ def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
   if a.ndim == 3:
     return jax.vmap(linalg.spd_solve)(a, b)
   return linalg.spd_solve(a, b)
+
+
+def m_solve_factor(m: Model, a: jax.Array, b: jax.Array,
+                   diag: jax.Array | None = None):
+  """Factor + solve for MASS-MATRIX-structured systems (A = qM [+ diag],
+  kinematic-tree sparsity). Returns (x, factor); the factor layout is
+  the packed tree LD when the tree kernel dispatched (pair with
+  m_cho_solve, never batch_linalg.cho_solve_batched)."""
+  pallas, interp = _pallas_ok()
+  if a.ndim == 3 and pallas and _tree_ldl_ok(m, a.shape[-1]):
+    from .pallas import batch_linalg
+    return batch_linalg.tree_ldl_solve_batched(
+        a, b, m.dof_parentid, diag=diag, return_factor=True,
+        interpret=interp)
+  if diag is not None:
+    dmat = jnp.diag(diag)
+    a = a + (dmat[None] if a.ndim == 3 else dmat)
+  return spd_solve_factor(m, a, b)
+
+
+def m_cho_solve(m: Model, fac: jax.Array, b: jax.Array) -> jax.Array:
+  """Solve from the factor produced by m_solve_factor."""
+  pallas, interp = _pallas_ok()
+  if fac.ndim == 3 and pallas and _tree_ldl_ok(m, fac.shape[-1]):
+    from .pallas import batch_linalg
+    return batch_linalg.tree_solve_from_factor_batched(
+        fac, b, m.dof_parentid, interpret=interp)
+  return cho_solve(m, fac, b)
 
 
 def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
@@ -289,7 +339,7 @@ def _update_gradient(m: Model, d: Data, ctx_grad_inputs, jaref=None,
       h = h + (1e-7 * tr)[..., None, None] * jnp.eye(nv, dtype=h.dtype)
     mgrad = spd_solve(m, h, grad)
   else:
-    mgrad = cho_solve(m, d.qLD, grad)
+    mgrad = m_cho_solve(m, d.qLD, grad)
   return grad, mgrad
 
 
