@@ -77,3 +77,28 @@ def test_learner_boundary_collectives():
   assert obs.shape == (nworld, m.nq)
   np.testing.assert_allclose(float(tot),
                              float(jnp.sum(batch.qpos[:, 2])), rtol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 2, reason='needs >1 device')
+def test_sharded_step_mega_path(monkeypatch):
+  """Sharded worlds x Pallas megakernel interplay: per-device world
+  counts far below the 128-lane block (here 2/device) must pad and
+  step correctly with the mega gates forced on (interpret off-TPU)."""
+  monkeypatch.setenv('MJWT_FORCE_MEGA', '1')
+  from fixtures import HOPPER
+  mjm = mujoco.MjModel.from_xml_string(HOPPER)
+  m = mjwt.put_model(mjm)
+  d = mjwt.make_data(m, nconmax=8)
+  nworld = 2 * len(jax.devices())
+  mesh = parallel.make_mesh()
+  batch = parallel.shard_batch(
+      parallel.make_batch(m, d, nworld, qpos_noise=0.01), mesh)
+  out = jax.jit(lambda b: mjwt.step_batched(m, b))(batch)
+  jax.block_until_ready(out.qpos)
+  assert not bool(jnp.any(jnp.isnan(out.qpos)))
+  # sharded result == unsharded result
+  out2 = jax.jit(lambda b: mjwt.step_batched(m, b))(
+      parallel.make_batch(m, d, nworld, qpos_noise=0.01))
+  np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(out2.qpos),
+                             atol=1e-6)
