@@ -5,6 +5,30 @@ JAX/XLA/Pallas: single-world pure-functional pipeline, vmap over worlds,
 pjit/shard_map over a device mesh. See SURVEY.md for the layer map.
 """
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+  """Persistent XLA/Mosaic compilation cache (reference analogue: Warp's
+  kernel cache makes its graph capture 0.3s; without this every fresh
+  process pays the full 30-400s jit). MJWT_NO_CACHE=1 disables,
+  MJWT_CACHE_DIR overrides the location."""
+  if _os.environ.get('MJWT_NO_CACHE', '0') == '1':
+    return
+  import jax
+  cache_dir = _os.environ.get(
+      'MJWT_CACHE_DIR',
+      _os.path.join(_os.path.expanduser('~'), '.cache', 'mjwt_xla'))
+  try:
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+  except Exception:  # old jax without these flags: soft-fail
+    pass
+
+
+_enable_compilation_cache()
+
 from .io import (
     find_keys,
     get_data_into,

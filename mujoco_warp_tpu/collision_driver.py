@@ -104,9 +104,11 @@ def collision(m: Model, d: Data) -> Data:
   Culled mesh pairs use decimated hulls (m.mesh_hullvert_small) so the
   per-world hull gather stays small. Overlaps beyond K are dropped and
   counted in ncollision (overflow observability)."""
+  from . import collision_flex
   con = d.contact
   nconmax = con.dist.shape[0]
-  if (m.nxn_candidates == 0 or nconmax == 0 or
+  nflex_cand = collision_flex.n_candidates(m)
+  if ((m.nxn_candidates == 0 and nflex_cand == 0) or nconmax == 0 or
       m.opt.disableflags & DisableBit.CONTACT):
     return d.replace(ncon=jnp.zeros((), jnp.int32))
 
@@ -132,7 +134,9 @@ def collision(m: Model, d: Data) -> Data:
         margin=rep(params[4]), includemargin=rep(params[5]),
         condim=rep(params[6]),
         g1=jnp.repeat(jnp.asarray(g1j, jnp.int32), k),
-        g2=jnp.repeat(jnp.asarray(g2j, jnp.int32), k)))
+        g2=jnp.repeat(jnp.asarray(g2j, jnp.int32), k),
+        vert=jnp.full((n * k, 3), -1, jnp.int32),
+        vertw=jnp.zeros((n * k, 3), dtype)))
 
   for t1, t2, glist in m.collision_pairs:
     g1s = np.array([g for g, _, _ in glist])
@@ -252,6 +256,12 @@ def collision(m: Model, d: Data) -> Data:
     dist_k, pos_k, frame_k = jax.vmap(fn)(*args)
     pack(dist_k, pos_k, frame_k, params, g1s, g2s, k)
 
+  # flex (deformable) candidates: plane-vertex + primitive-triangle
+  # narrowphase (collision_flex.py), appended after rigid candidates so
+  # the compaction keeps C's rigid-then-flex ordering
+  if nflex_cand:
+    parts.extend(collision_flex.candidate_parts(m, d, dtype))
+
   cat = lambda key: jnp.concatenate([p[key] for p in parts], axis=0)
   dist = cat('dist')
   pos = cat('pos')
@@ -297,6 +307,8 @@ def collision(m: Model, d: Data) -> Data:
       solimp=take(solimp, jnp.full(5, 0.9, dtype)),
       dim=take(condim, jnp.ones((), jnp.int32)),
       geom=take(g12, -jnp.ones(2, jnp.int32)),
+      vert=take(cat('vert'), -jnp.ones(3, jnp.int32)),
+      vertw=take(cat('vertw'), jnp.zeros(3, dtype)),
   )
   return d.replace(contact=new_con, ncon=ncon, ncollision=ncollision)
 

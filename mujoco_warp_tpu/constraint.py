@@ -211,6 +211,37 @@ def make_constraint(m: Model, d: Data) -> Data:
         invweight = m.dof_invweight0[d1]
       rows.append(_row(m, J, pos, pos, invweight, solref, solimp, 0.0,
                        vel, 0.0, ConstraintType.EQUALITY, i, active))
+    elif etype == EqType.FLEX:
+      # one row per flex edge: pos = length - length0, J = +-edge dir at
+      # the endpoint vertex dofs (reference constraint.py:677-760)
+      fx = m.flex_meta
+      f = m.eq_obj1id[i]
+      ea, en = fx.edgeadr[f], fx.edgenum[f]
+      edge_np = np.asarray(jax.device_get(m.flex_edge))[ea:ea + en]
+      dofadr = np.asarray(fx.vert_dofadr)
+      vert = d.flexvert_xpos
+      x0 = vert[edge_np[:, 0]]
+      x1 = vert[edge_np[:, 1]]
+      vec = x1 - x0
+      length = d.flexedge_length[ea:ea + en]
+      dirv = vec / jnp.maximum(length, 1e-15)[:, None]
+      J = jnp.zeros((en, nv), dtype)
+      rowix = np.arange(en)
+      for side, sign in ((1, 1.0), (0, -1.0)):
+        vd = dofadr[edge_np[:, side]]
+        valid = vd >= 0
+        cols = np.where(valid[:, None], vd[:, None] + np.arange(3), 0)
+        vals = jnp.where(jnp.asarray(valid)[:, None], sign * dirv, 0.0)
+        J = J.at[rowix[:, None], cols].add(vals)
+      pos = length - m.flexedge_length0[ea:ea + en]
+      invw = m.flexedge_invweight0[ea:ea + en]
+      vel = d.flexedge_velocity[ea:ea + en]
+      k = jnp.ones((en,), dtype)
+      rows.append(_row(m, J, pos, pos, invw,
+                       jnp.broadcast_to(solref, (en, 2)),
+                       jnp.broadcast_to(solimp, (en, 5)),
+                       k * 0.0, vel, k * 0.0,
+                       ConstraintType.EQUALITY, i, active))
     else:
       raise NotImplementedError(f'equality type {etype}')
   def _nrows(rs):
@@ -311,7 +342,10 @@ def make_constraint(m: Model, d: Data) -> Data:
   static = _stack(rows, nv, dtype) if rows else None
 
   # --- contacts (fully vectorized over pool x pyramid rows) ------------------
-  if nconmax and stride:
+  # (m.ngeom == 0: geom-less models, e.g. a bare flex, have no contacts
+  # and gathering from size-0 geom tables is an XLA error)
+  has_contacts = nconmax and stride and m.ngeom
+  if has_contacts:
     con_rows = _contact_rows_all(m, d, stride)
   else:
     con_rows = None
@@ -324,7 +358,7 @@ def make_constraint(m: Model, d: Data) -> Data:
       parts.append(con_rows[key])
     return jnp.concatenate(parts, axis=0)
 
-  if nconmax and stride:
+  if has_contacts:
     efc_address = (ne + nf + nl + stride * jnp.arange(
         nconmax, dtype=jnp.int32))
     valid = d.contact.geom[:, 0] >= 0
@@ -363,6 +397,23 @@ def _contact_rows_all(m: Model, d: Data, stride: int):
   valid = g1 >= 0
   b1 = jnp.where(valid, geom_bodyid[jnp.maximum(g1, 0)], 0)
   b2 = jnp.where(valid, geom_bodyid[jnp.maximum(g2, 0)], 0)
+
+  # flex contacts (geom[1] == -1): side 2 is a set of flex vertices with
+  # barycentric weights. The body path is disabled for them (b2 = world)
+  # and the vertex slide-dof jacobian is scattered in below; invweight
+  # uses the dominant vertex's body (C uses the element vertices'
+  # bodies; reference constraint.py:1762 uses contact.vert[1]).
+  has_flex = bool(m.flex_meta.nflex) and (
+      len(m.flex_meta.plane_pairs) or len(m.flex_meta.tri_pairs))
+  if has_flex:
+    fv = con.vert                                   # (C, 3)
+    fw = con.vertw                                  # (C, 3)
+    is_flex = valid & (g2 < 0)
+    kmax = jnp.argmax(fw, axis=1)
+    vmain = jnp.take_along_axis(fv, kmax[:, None], 1)[:, 0]
+    vb = m.flex_vert_bodyid[jnp.maximum(vmain, 0)]
+    invw2_flex = m.body_invweight0[vb, 0]
+    b2 = jnp.where(is_flex, 0, b2)
   dim = con.dim                                     # (C,)
   pos = con.dist - con.includemargin                # (C,)
   active_con = (pos < 0) & valid
@@ -391,11 +442,27 @@ def _contact_rows_all(m: Model, d: Data, stride: int):
   # f_r . jacp_diff and f_r . jacr_diff for all three frame rows
   jp = (mask2[:, None, :] * (FL - QA2) -
         mask1[:, None, :] * (FL - QA1))             # (C, 3, nv)
+  if has_flex:
+    # scatter the weighted vertex slide-dof columns:
+    #   jp[c, r, dof(v_k) + x] += w_k * frame[c, r, x]
+    dofs = m.flex_vert_dofadr[jnp.maximum(fv, 0)]   # (C, 3)
+    wvalid = (fv >= 0) & (dofs >= 0) & is_flex[:, None]
+    w = jnp.where(wvalid, fw, 0.0)
+    cols = jnp.where(wvalid, dofs, 0)
+    ci = jnp.arange(C)[:, None, None, None]
+    ri = jnp.arange(3)[None, :, None, None]
+    colsx = (cols[:, None, :, None] +
+             jnp.arange(3)[None, None, None, :])    # (C, 1, 3k, 3x)
+    vals = w[:, None, :, None] * frame[:, :, None, :]   # (C, 3r, 3k, 3x)
+    jp = jp.at[ci, ri, colsx].add(vals)
   jr = dm[:, None, :] * FA
   jn = jp[:, 0]                                     # (C, nv)
   jdirs = jnp.concatenate([jp[:, 1:3], jr], axis=1)  # (C, 5, nv)
 
-  invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]   # (C,)
+  invw2 = m.body_invweight0[b2, 0]
+  if has_flex:
+    invw2 = jnp.where(is_flex, invw2_flex, invw2)
+  invw = m.body_invweight0[b1, 0] + invw2           # (C,)
   friction = con.friction                           # (C, 5)
   fri0 = friction[:, 0]
   impratio_invsqrt = 1.0 / jnp.sqrt(jnp.maximum(m.opt.impratio, _MINVAL))

@@ -46,6 +46,9 @@ def fwd_position(m: Model, d: Data, factorize: bool = True) -> Data:
   fused factor+solve in _fwd_acceleration_batched."""
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
+  if m.flex_meta.nflex:
+    from . import flex as flex_mod
+    d = flex_mod.kinematics(m, d)
   d = smooth.camlight(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
@@ -446,7 +449,8 @@ def _mega_gates(m: Model):
   on_tpu = jax.default_backend() == 'tpu'
   force = _os.environ.get('MJWT_FORCE_MEGA', '0') == '1'
   use_mega = ((on_tpu or force) and
-              0 < m.nv <= _mega_cap and m.nbody <= 2 * _mega_cap)
+              0 < m.nv <= _mega_cap and m.nbody <= 2 * _mega_cap and
+              not m.flex_meta.nflex)  # mega kernel has no flex stages yet
   return use_mega, force and not on_tpu
 
 

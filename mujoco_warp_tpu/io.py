@@ -64,7 +64,8 @@ def _validate(mjm: mujoco.MjModel):
   if mjm.opt.solver not in _SUPPORTED_SOLVERS:
     raise NotImplementedError(f'solver {mjm.opt.solver} not supported')
   if mjm.nflex:
-    raise NotImplementedError('flex not yet supported')
+    from . import flex as flex_mod
+    flex_mod.validate(mjm)
   if mjm.nplugin:
     raise NotImplementedError('plugins not yet supported')
   from . import sensor as sensor_mod
@@ -548,6 +549,8 @@ def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
 def put_model(mjm: mujoco.MjModel) -> Model:
   _validate(mjm)
   _sdf_grids_cached = _build_sdf_grids(mjm)
+  from . import flex as flex_mod
+  flex_meta, flex_leaves = flex_mod.build(mjm)
 
   opt = Option(
       timestep=_jp(mjm.opt.timestep),
@@ -611,6 +614,16 @@ def put_model(mjm: mujoco.MjModel) -> Model:
         condims.append(int(mjm.pair_dim[pid]))
       else:
         condims.append(_pair_condim(mjm, g1, g2))
+  # flex contact candidates mix geom vs flex condim by priority
+  for g, f in {(g, f) for g, _, f in flex_meta.plane_pairs} | {
+      (g, f) for _, g, _, f in flex_meta.tri_pairs}:
+    pg, pf = int(mjm.geom_priority[g]), int(mjm.flex_priority[f])
+    if pg > pf:
+      condims.append(int(mjm.geom_condim[g]))
+    elif pf > pg:
+      condims.append(int(mjm.flex_condim[f]))
+    else:
+      condims.append(max(int(mjm.geom_condim[g]), int(mjm.flex_condim[f])))
   condim_max = max(condims)
 
   mocap_bodies = np.nonzero(mjm.body_mocapid >= 0)[0]
@@ -833,6 +846,9 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       body_subtree_mask=_jp(subtree_mask),
       body_dof_ancestor_mask=_jp(body_dof_mask),
       dof_vpre_mask=_jp(_dof_vpre_mask(mjm)),
+      flex_meta=flex_meta,
+      **{k: (_jp(v, dtype=jnp.int32) if v.dtype.kind == 'i' else _jp(v))
+         for k, v in flex_leaves.items()},
   )
 
 
@@ -859,9 +875,13 @@ def efc_layout(m: Model, nconmax: int):
   the XLA-native formulation (no dynamic shapes, no atomics)."""
   ne = 0
   for i in range(m.neq):
-    ne += {types.EqType.CONNECT: 3, types.EqType.WELD: 6,
-           types.EqType.JOINT: 1,
-           types.EqType.TENDON: 1}[types.EqType(m.eq_type[i])]
+    etype = types.EqType(m.eq_type[i])
+    if etype == types.EqType.FLEX:
+      # one row per edge of the flex (reference constraint.py:677)
+      ne += m.flex_meta.edgenum[m.eq_obj1id[i]]
+    else:
+      ne += {types.EqType.CONNECT: 3, types.EqType.WELD: 6,
+             types.EqType.JOINT: 1, types.EqType.TENDON: 1}[etype]
   nf = sum(m.dof_hasfrictionloss) + sum(m.tendon_hasfrictionloss)
   nl = sum(1 for i in range(m.njnt) if m.jnt_limited[i]) + sum(
       1 for t in range(m.ntendon) if m.tendon_limited[t])
@@ -889,9 +909,13 @@ def make_data(m: Model, nconmax: int | None = None,
   nconmax already guarantees capacity, so njmax cannot change the
   allocation; a value below the static requirement is an error (the
   requested budget would be silently exceeded)."""
+  from . import collision_flex
+  ncand = m.nxn_candidates + collision_flex.n_candidates(m)
   if nconmax is None:
-    nconmax = max(min(m.nxn_candidates, 64), 1)
+    nconmax = max(min(ncand, 64), 1)
   nconmax = max(nconmax, 1)
+  if m.ngeom == 0 or ncand == 0:
+    nconmax = 0      # no candidate pairs: no contacts possible
   _, _, _, _, njmax_actual = efc_layout(m, nconmax)
   if njmax is not None and njmax < njmax_actual:
     raise ValueError(
@@ -910,7 +934,8 @@ def make_data(m: Model, nconmax: int | None = None,
       solref=z(nconmax, 2), solreffriction=z(nconmax, 2),
       solimp=z(nconmax, 5), dim=zi(nconmax), geom=-jnp.ones(
           (nconmax, 2), dtype=jnp.int32), efc_address=-jnp.ones(
-              (nconmax,), dtype=jnp.int32))
+              (nconmax,), dtype=jnp.int32),
+      vert=-jnp.ones((nconmax, 3), dtype=jnp.int32), vertw=z(nconmax, 3))
 
   d = Data(
       time=z(), energy=z(2), ncon=zi(), ne=zi(), nf=zi(), nl=zi(),
@@ -936,6 +961,9 @@ def make_data(m: Model, nconmax: int | None = None,
       actuator_velocity=z(nu), actuator_force=z(nu), act_dot=z(na),
       ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
       ten_velocity=z(m.ntendon),
+      flexvert_xpos=z(m.flex_meta.nvert, 3),
+      flexedge_length=z(m.flex_meta.nedge),
+      flexedge_velocity=z(m.flex_meta.nedge),
       qfrc_spring=z(nv), qfrc_damper=z(nv), qfrc_gravcomp=z(nv),
       qfrc_fluid=z(nv), qfrc_passive=z(nv), qfrc_bias=z(nv),
       qfrc_actuator=z(nv), qfrc_smooth=z(nv), qacc_smooth=z(nv), qacc_euler=z(nv),

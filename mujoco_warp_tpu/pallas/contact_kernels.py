@@ -56,6 +56,8 @@ def supports(m: Model, d) -> bool:
     return False
   if m.neq or m.ntendon:
     return False
+  if m.flex_meta.nflex:
+    return False
   for j in range(m.njnt):
     if m.jnt_limited[j] and m.jnt_type[j] not in (JointType.SLIDE,
                                                   JointType.HINGE):

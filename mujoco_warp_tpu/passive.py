@@ -18,13 +18,31 @@ def passive(m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   nv = m.nv
   zero = jnp.zeros(nv, dtype)
-  if m.opt.disableflags & DisableBit.PASSIVE or nv == 0:
+  dsbl_spring = bool(m.opt.disableflags & DisableBit.SPRING)
+  dsbl_damper = bool(m.opt.disableflags & DisableBit.DAMPER)
+  if (dsbl_spring and dsbl_damper) or nv == 0:
+    # both spring+damper off zeroes the whole passive bucket
+    # (reference passive.py:734-740)
     return d.replace(qfrc_spring=zero, qfrc_damper=zero,
                      qfrc_gravcomp=zero, qfrc_fluid=zero, qfrc_passive=zero)
 
-  # joint springs (reference passive.py:71)
+  # joint springs (reference passive.py:71). Scalar (hinge/slide)
+  # joints are batched into one gather/scatter — a flex model has
+  # thousands of them and a per-joint unroll would explode the trace;
+  # free/ball joints (quaternion difference) stay per-joint.
+  import numpy as np
   qfrc_spring = zero
-  for j in range(m.njnt):
+  scalar_j = [j for j in range(m.njnt)
+              if m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)]
+  if dsbl_spring:
+    scalar_j = []
+  if scalar_j:
+    qadrs = np.array([m.jnt_qposadr[j] for j in scalar_j])
+    dadrs = np.array([m.jnt_dofadr[j] for j in scalar_j])
+    stiff = m.jnt_stiffness[np.array(scalar_j)]
+    fs = -stiff * (d.qpos[qadrs] - m.qpos_spring[qadrs])
+    qfrc_spring = qfrc_spring.at[dadrs].add(fs)
+  for j in range(m.njnt if not dsbl_spring else 0):
     stiffness = m.jnt_stiffness[j]
     qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
     jtype = m.jnt_type[j]
@@ -38,11 +56,8 @@ def passive(m: Model, d: Data) -> Data:
       dif = math.quat_sub(d.qpos[qadr:qadr + 4],
                           m.qpos_spring[qadr:qadr + 4])
       qfrc_spring = qfrc_spring.at[dadr:dadr + 3].add(-stiffness * dif)
-    else:
-      qfrc_spring = qfrc_spring.at[dadr].add(
-          -stiffness * (d.qpos[qadr] - m.qpos_spring[qadr]))
 
-  qfrc_damper = -m.dof_damping * d.qvel
+  qfrc_damper = zero if dsbl_damper else -m.dof_damping * d.qvel
 
   # gravity compensation (reference passive.py:247): per-body counter-
   # gravity wrench mapped through the ancestor dof axes.
@@ -74,10 +89,12 @@ def passive(m: Model, d: Data) -> Data:
     displacement = jnp.where(L > hi, hi - L, jnp.where(L < lo, lo - L, 0.0))
     frc_spring = m.tendon_stiffness * displacement
     frc_damper = -m.tendon_damping * d.ten_velocity
-    qfrc_spring = qfrc_spring + jnp.einsum('tn,t->n', d.ten_J, frc_spring,
-                                           precision=jax.lax.Precision.HIGHEST)
-    qfrc_damper = qfrc_damper + jnp.einsum('tn,t->n', d.ten_J, frc_damper,
-                                           precision=jax.lax.Precision.HIGHEST)
+    if not dsbl_spring:
+      qfrc_spring = qfrc_spring + jnp.einsum(
+          'tn,t->n', d.ten_J, frc_spring, precision=jax.lax.Precision.HIGHEST)
+    if not dsbl_damper:
+      qfrc_damper = qfrc_damper + jnp.einsum(
+          'tn,t->n', d.ten_J, frc_damper, precision=jax.lax.Precision.HIGHEST)
 
   # fluid forces, inertia-box model (reference passive.py:276-503;
   # C mj_inertiaBoxFluidModel), vectorized over bodies; bodies carrying
@@ -131,6 +148,11 @@ def passive(m: Model, d: Data) -> Data:
     qfrc_fluid = qfrc_fluid + jnp.einsum(
         'ji,ji->j', d.cdof, csub[list(m.dof_bodyid), :],
         precision=jax.lax.Precision.HIGHEST)
+
+  # flex elasticity + bending + damping (reference passive.py:567-746)
+  if m.flex_meta.nflex:
+    from . import flex as flex_mod
+    qfrc_spring = qfrc_spring + flex_mod.passive_force(m, d)
 
   qfrc_passive = qfrc_spring + qfrc_damper + qfrc_gravcomp + qfrc_fluid
   return d.replace(qfrc_spring=qfrc_spring, qfrc_damper=qfrc_damper,

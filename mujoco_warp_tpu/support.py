@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from . import math
-from .types import Data, Model, State
+from .types import Data, DisableBit, Model, State
 
 _EINSUM = dict(precision=jax.lax.Precision.HIGHEST)
 
@@ -199,7 +199,7 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
   dof_contrib = d.cdof_dot * d.qvel[:, None] + d.cdof * d.qacc[:, None]
   cacc = jnp.einsum('bj,ji->bi', m.body_dof_ancestor_mask, dof_contrib,
                     **_EINSUM)
-  if not m.opt.disableflags & 64:  # DisableBit.GRAVITY
+  if not m.opt.disableflags & DisableBit.GRAVITY:
     grav = jnp.concatenate([jnp.zeros(3, dtype), -m.opt.gravity])
     cacc = cacc + grav[None, :]
     cacc = cacc.at[0].set(grav)

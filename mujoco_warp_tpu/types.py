@@ -36,20 +36,27 @@ import jax.numpy as jnp
 
 
 class DisableBit(enum.IntFlag):
+  """Matches C mjtDisableBit (mujoco.mjtDisableBit) bit-for-bit."""
   CONSTRAINT = 1 << 0
   EQUALITY = 1 << 1
   FRICTIONLOSS = 1 << 2
   LIMIT = 1 << 3
   CONTACT = 1 << 4
-  PASSIVE = 1 << 5
-  GRAVITY = 1 << 6
-  CLAMPCTRL = 1 << 7
-  WARMSTART = 1 << 8
-  FILTERPARENT = 1 << 9
-  ACTUATION = 1 << 10
-  REFSAFE = 1 << 11
-  SENSOR = 1 << 12
-  EULERDAMP = 1 << 14
+  SPRING = 1 << 5
+  DAMPER = 1 << 6
+  GRAVITY = 1 << 7
+  CLAMPCTRL = 1 << 8
+  WARMSTART = 1 << 9
+  FILTERPARENT = 1 << 10
+  ACTUATION = 1 << 11
+  REFSAFE = 1 << 12
+  SENSOR = 1 << 13
+  MIDPHASE = 1 << 14
+  EULERDAMP = 1 << 15
+  AUTORESET = 1 << 16
+  NATIVECCD = 1 << 17
+  ISLAND = 1 << 18
+  MULTICCD = 1 << 19
 
 
 class EnableBit(enum.IntFlag):
@@ -353,6 +360,7 @@ _MODEL_META = (
     'fluid_active',      # density or viscosity or wind nonzero
     'has_tendon_armature',
     'body_fluid_ellipsoid',  # per-body: use ellipsoid fluid model
+    'flex_meta',         # flex.FlexMeta (hashable static flex structure)
 )
 
 
@@ -596,6 +604,21 @@ class Model:
   # (nv, nv) strict-ancestor mask for cdof_dot partial velocities
   # (see io._dof_vpre_mask) — com_vel as one matmul.
   dof_vpre_mask: jax.Array
+  # flex (deformable) static tables — see flex.py (reference
+  # types.py flex_* fields). Empty (0, ...) when the model has no flex.
+  flex_meta: object                 # FlexMeta, static (in _MODEL_META)
+  flex_edge: jax.Array              # (nfe, 2) int32 global vert ids
+  flex_edgeflap: jax.Array          # (nfe, 2) int32 global (-1 = none)
+  flex_elem_edge: jax.Array         # (nel, maxe) int32 global edge ids
+  flex_elem_enda: jax.Array         # (nel, maxe) int32 endpoint A verts
+  flex_elem_endb: jax.Array         # (nel, maxe) int32 endpoint B verts
+  flex_stiffness: jax.Array         # (nel, 21) packed elasticity metric
+  flex_bending: jax.Array           # (nfe, 17) bending Hessian + coef
+  flexedge_length0: jax.Array       # (nfe,)
+  flexedge_invweight0: jax.Array    # (nfe,)
+  flex_vertlocal: jax.Array         # (nfv, 3) body-frame vertex coords
+  flex_vert_bodyid: jax.Array       # (nfv,) int32 vertex body
+  flex_vert_dofadr: jax.Array       # (nfv,) int32 first slide dof (-1 pinned)
 
 
 # ---------------------------------------------------------------------------
@@ -617,8 +640,13 @@ class Contact:
   solreffriction: jax.Array  # (nconmax, 2)
   solimp: jax.Array        # (nconmax, 5)
   dim: jax.Array           # (nconmax,) int32
-  geom: jax.Array          # (nconmax, 2) int32
+  geom: jax.Array          # (nconmax, 2) int32; geom[1] == -1 => flex side
   efc_address: jax.Array   # (nconmax,) int32 first efc row of this contact
+  # flex contacts (reference types.py contact.flex/vert; here up to 3
+  # vertices with barycentric weights so triangle contacts get the full
+  # 3-vertex jacobian instead of single-vertex attribution)
+  vert: jax.Array          # (nconmax, 3) int32 global flex verts, -1 unused
+  vertw: jax.Array         # (nconmax, 3) barycentric weights
 
 
 @_pytree()
@@ -688,6 +716,10 @@ class Data:
   ten_length: jax.Array
   ten_J: jax.Array         # (ntendon, nv)
   ten_velocity: jax.Array
+  # flex (reference types.py flexvert_xpos/flexedge_length/velocity)
+  flexvert_xpos: jax.Array      # (nfv, 3)
+  flexedge_length: jax.Array    # (nfe,)
+  flexedge_velocity: jax.Array  # (nfe,)
   # force buckets
   qfrc_spring: jax.Array
   qfrc_damper: jax.Array
