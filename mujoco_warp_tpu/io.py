@@ -551,6 +551,7 @@ def put_model(mjm: mujoco.MjModel) -> Model:
   _sdf_grids_cached = _build_sdf_grids(mjm)
   from . import flex as flex_mod
   flex_meta, flex_leaves = flex_mod.build(mjm)
+  tactile_meta, tactile_leaves = _build_tactile(mjm)
 
   opt = Option(
       timestep=_jp(mjm.opt.timestep),
@@ -847,9 +848,79 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       body_dof_ancestor_mask=_jp(body_dof_mask),
       dof_vpre_mask=_jp(_dof_vpre_mask(mjm)),
       flex_meta=flex_meta,
+      tactile_meta=tactile_meta,
       **{k: (_jp(v, dtype=jnp.int32) if v.dtype.kind == 'i' else _jp(v))
-         for k, v in flex_leaves.items()},
+         for k, v in {**flex_leaves, **tactile_leaves}.items()},
   )
+
+
+def _build_tactile(mjm: mujoco.MjModel) -> tuple:
+  """Taxel tables for TACTILE sensors (reference io.py:553-561
+  taxel_vertadr/taxel_sensorid; sensor kernel sensor.py:2122). Each
+  sensor's taxels are the vertices of its mesh (objid), attached to its
+  geom (refid); candidate touching geoms are enumerated statically by
+  contype/conaffinity vs the sensor geom."""
+  _TACTILE = int(mujoco.mjtSensor.mjSENS_TACTILE)
+  sensors = [s for s in range(mjm.nsensor)
+             if int(mjm.sensor_type[s]) == _TACTILE]
+  if not sensors:
+    z = np.zeros
+    return (), dict(taxel_pos=z((0, 3), np.float32),
+                    taxel_normal=z((0, 3), np.float32),
+                    taxel_tang=z((0, 2, 3), np.float32))
+
+  # geom types with an analytic SDF for the depth query (collision_sdf
+  # _primitive_sdf); mesh "other" geoms need a voxel grid — reject for
+  # now (same policy as other unsupported-feature validation)
+  sdf_ok = {0, 2, 3, 4, 5, 6}   # plane sphere capsule ellipsoid cyl box
+  meta, pos_l, nrm_l, tan_l = [], [], [], []
+  t0 = 0
+  for s in sensors:
+    mesh = int(mjm.sensor_objid[s])
+    g = int(mjm.sensor_refid[s])
+    va, vn = int(mjm.mesh_vertadr[mesh]), int(mjm.mesh_vertnum[mesh])
+    na, nn = int(mjm.mesh_normaladr[mesh]), int(mjm.mesh_normalnum[mesh])
+    verts = np.asarray(mjm.mesh_vert[va:va + vn], np.float32)
+    has_frame = nn == 3 * vn
+    if has_frame:
+      nrm = np.asarray(mjm.mesh_normal[na:na + 3 * vn:3], np.float32)
+      t1 = np.asarray(mjm.mesh_normal[na + 1:na + 3 * vn:3], np.float32)
+      t2 = np.asarray(mjm.mesh_normal[na + 2:na + 3 * vn:3], np.float32)
+      tang = np.stack([t1, t2], axis=1)
+    elif nn == vn:
+      nrm = np.asarray(mjm.mesh_normal[na:na + vn], np.float32)
+      tang = np.zeros((vn, 2, 3), np.float32)
+    else:
+      # shared-normal meshes: fall back to radial-from-centroid normals
+      c = verts.mean(axis=0)
+      nrm = verts - c
+      nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True),
+                             1e-12)
+      tang = np.zeros((vn, 2, 3), np.float32)
+    # candidate other geoms: affinity-filtered, not welded to the sensor
+    pw = int(mjm.body_weldid[mjm.geom_bodyid[g]])
+    groups: dict[int, list[int]] = {}
+    for og in range(mjm.ngeom):
+      if int(mjm.body_weldid[mjm.geom_bodyid[og]]) == pw:
+        continue
+      ok = ((int(mjm.geom_contype[g]) & int(mjm.geom_conaffinity[og])) or
+            (int(mjm.geom_contype[og]) & int(mjm.geom_conaffinity[g])))
+      if not ok:
+        continue
+      gt = int(mjm.geom_type[og])
+      if gt not in sdf_ok:
+        raise NotImplementedError(
+            f'tactile sensor vs geom type {gt} not supported')
+      groups.setdefault(gt, []).append(og)
+    meta.append((s, g, t0, vn, bool(has_frame),
+                 tuple((gt, tuple(gs)) for gt, gs in sorted(groups.items()))))
+    pos_l.append(verts)
+    nrm_l.append(nrm.astype(np.float32))
+    tan_l.append(tang.astype(np.float32))
+    t0 += vn
+  return tuple(meta), dict(taxel_pos=np.concatenate(pos_l, 0),
+                           taxel_normal=np.concatenate(nrm_l, 0),
+                           taxel_tang=np.concatenate(tan_l, 0))
 
 
 def _pair_condim(mjm: mujoco.MjModel, g1: int, g2: int) -> int:

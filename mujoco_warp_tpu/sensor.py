@@ -35,7 +35,10 @@ SUPPORTED_SENSORS = {
     SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
     SensorType.TENDONACTFRC, SensorType.CAMPROJECTION,
     SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
-    SensorType.INSIDESITE, SensorType.CONTACT,
+    SensorType.INSIDESITE, SensorType.CONTACT, SensorType.TACTILE,
+    # USER sensordata is produced by the user's sensor_fn callback
+    # (forward.forward sensor_fn hook == C mjcb_sensor); stages skip it
+    SensorType.USER,
 }
 
 
@@ -280,6 +283,8 @@ def sensor_pos(m: Model, d: Data) -> Data:
     if m.sensor_needstage[s] != 1:  # mjSTAGE_POS
       continue
     stype = m.sensor_type[s]
+    if stype == SensorType.USER:
+      continue  # filled by the user's sensor_fn callback (mjcb_sensor)
     adr = m.sensor_adr[s]
     objid = m.sensor_objid[s]
     objtype = m.sensor_objtype[s]
@@ -437,6 +442,8 @@ def sensor_vel(m: Model, d: Data) -> Data:
     if m.sensor_needstage[s] != 2:  # mjSTAGE_VEL
       continue
     stype = m.sensor_type[s]
+    if stype == SensorType.USER:
+      continue  # filled by the user's sensor_fn callback (mjcb_sensor)
     adr = m.sensor_adr[s]
     objid = m.sensor_objid[s]
     objtype = m.sensor_objtype[s]
@@ -517,6 +524,8 @@ def sensor_acc(m: Model, d: Data) -> Data:
     if m.sensor_needstage[s] != 3:  # mjSTAGE_ACC
       continue
     stype = m.sensor_type[s]
+    if stype == SensorType.USER:
+      continue  # filled by the user's sensor_fn callback (mjcb_sensor)
     adr = m.sensor_adr[s]
     objid = m.sensor_objid[s]
     objtype = m.sensor_objtype[s]
@@ -590,10 +599,91 @@ def sensor_acc(m: Model, d: Data) -> Data:
       total = jnp.sum(jax.vmap(one)(jnp.arange(nconmax))) if nconmax \
           else jnp.zeros((), d.qpos.dtype)
       sd = _write(sd, adr, total)
+    elif stype == SensorType.TACTILE:
+      sd = _tactile(m, d, sd, s)
     else:
       raise NotImplementedError(f'acc sensor {stype}')
   sd = _apply_cutoff(m, sd, 3)
   return d.replace(sensordata=sd)
+
+
+def _tactile(m: Model, d: Data, sd, s: int):
+  """mjSENS_TACTILE: per-taxel penetration pressure against geoms in
+  active contact with the sensor geom's weld body (reference
+  sensor.py:2085-2254 _preprocess_tactile_contacts/_sensor_tactile).
+
+  Channel 0 (normal force) is the analytic SDF penetration depth of
+  the taxel in each contacting geom, summed over geoms — this matches
+  C exactly for planes and to ~1% at shallow depths for primitives
+  (C evaluates an approximate discretized SDF; verified numerically).
+  Channels 1/2 (only when the mesh carries a 3x normal frame) are the
+  tangential relative speeds |v_rel . t|, the reference's convention."""
+  import numpy as np
+  from . import support
+  meta = next(t for t in m.tactile_meta if t[0] == s)
+  _, g, t0, T, has_frame, groups = meta
+  dtype = d.qpos.dtype
+  adr = m.sensor_adr[s]
+
+  R = d.geom_xmat[g]
+  xpos = m.taxel_pos[t0:t0 + T] @ R.T + d.geom_xpos[g]      # (T, 3)
+
+  # per-geom "in active contact with the sensor weld" flags
+  pw = int(m.body_weldid[m.geom_bodyid[g]])
+  ngeom = m.ngeom
+  geom_weld = jnp.asarray(
+      np.asarray(m.body_weldid)[np.asarray(m.geom_bodyid)], jnp.int32)
+  cg = d.contact.geom                                        # (C, 2)
+  valid = (cg[:, 0] >= 0) & (d.contact.dist <
+                             d.contact.includemargin)
+  w1 = geom_weld[jnp.maximum(cg[:, 0], 0)]
+  w2 = geom_weld[jnp.maximum(cg[:, 1], 0)]
+  flag = jnp.zeros((ngeom + 1,), bool)
+  oth1 = jnp.where(valid & (w2 == pw) & (cg[:, 1] >= 0), cg[:, 0], ngeom)
+  oth2 = jnp.where(valid & (w1 == pw) & (cg[:, 1] >= 0), cg[:, 1], ngeom)
+  flag = flag.at[oth1].set(True).at[oth2].set(True)[:ngeom]
+
+  from .collision_sdf import _primitive_sdf
+  press = jnp.zeros((T,), dtype)
+  touch_any = jnp.zeros((T,), bool)
+  vrel_sum = jnp.zeros((T, 3), dtype)
+  for gtype, gids in groups:
+    gl = np.asarray(gids, np.int32)
+    gp = d.geom_xpos[gl]                                     # (G, 3)
+    gR = d.geom_xmat[gl]                                     # (G, 3, 3)
+    size = m.geom_size[gl]
+    rel = xpos[:, None, :] - gp[None, :, :]                  # (T, G, 3)
+    lp = jnp.einsum('gji,tgj->tgi', gR, rel)
+    sdfv = jax.vmap(jax.vmap(
+        lambda p, sz: _primitive_sdf(int(gtype), p, sz),
+        in_axes=(0, 0)), in_axes=(0, None))(lp, size)        # (T, G)
+    depth = jnp.minimum(sdfv, 0.0) * flag[gl][None, :]
+    press = press + jnp.sum(-depth, axis=1)
+    if has_frame:
+      hit = depth < 0                                        # (T, G)
+      touch_any = touch_any | jnp.any(hit, axis=1)
+      # relative velocity taxel-vs-geom-body at the taxel point
+      body = jnp.asarray(np.asarray(m.geom_bodyid)[gl], jnp.int32)
+      root = jnp.asarray(np.asarray(m.body_rootid), jnp.int32)
+      cv_s = d.cvel[pw]                                      # (6,)
+      v_s = (cv_s[3:] + jnp.cross(
+          cv_s[:3], xpos - d.subtree_com[root[pw]]))          # (T, 3)
+      cv_o = d.cvel[body]                                    # (G, 6)
+      v_o = (cv_o[:, 3:] + jnp.cross(
+          cv_o[:, :3], gp - d.subtree_com[root[body]]))       # (G, 3)
+      vr = v_s[:, None, :] - v_o[None, :, :]                 # (T, G, 3)
+      vrel_sum = vrel_sum + jnp.sum(
+          vr * hit[:, :, None].astype(dtype), axis=1)
+
+  out = [press]
+  if has_frame:
+    Rt = m.taxel_tang[t0:t0 + T] @ R.T[None]                 # (T, 2, 3)
+    out.append(jnp.abs(jnp.sum(vrel_sum * Rt[:, 0], -1)))
+    out.append(jnp.abs(jnp.sum(vrel_sum * Rt[:, 1], -1)))
+  else:
+    out.extend([jnp.zeros((T,), dtype), jnp.zeros((T,), dtype)])
+  return jax.lax.dynamic_update_slice(
+      sd, jnp.concatenate(out).astype(dtype), (adr,))
 
 
 def energy_pos(m: Model, d: Data) -> Data:

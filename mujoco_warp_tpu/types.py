@@ -361,6 +361,11 @@ _MODEL_META = (
     'has_tendon_armature',
     'body_fluid_ellipsoid',  # per-body: use ellipsoid fluid model
     'flex_meta',         # flex.FlexMeta (hashable static flex structure)
+    # tactile sensors (reference sensor.py:2122 _sensor_tactile):
+    # tuple per TACTILE sensor of (sensor_id, geom_id, taxel_start,
+    # taxel_count, has_frame, other_groups) where other_groups is a
+    # tuple of (geom_type, tuple(geom ids)) the sensor can touch
+    'tactile_meta',
 )
 
 
@@ -619,6 +624,12 @@ class Model:
   flex_vertlocal: jax.Array         # (nfv, 3) body-frame vertex coords
   flex_vert_bodyid: jax.Array       # (nfv,) int32 vertex body
   flex_vert_dofadr: jax.Array       # (nfv,) int32 first slide dof (-1 pinned)
+  # tactile sensor taxel tables (empty (0, ...) without TACTILE sensors;
+  # reference types.py taxel_vertadr/taxel_sensorid + mesh vert/normal)
+  tactile_meta: object              # static (in _MODEL_META)
+  taxel_pos: jax.Array              # (ntaxel, 3) geom-frame positions
+  taxel_normal: jax.Array           # (ntaxel, 3) geom-frame normals
+  taxel_tang: jax.Array             # (ntaxel, 2, 3) tangent frame (or 0)
 
 
 # ---------------------------------------------------------------------------
