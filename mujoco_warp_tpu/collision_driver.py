@@ -93,32 +93,10 @@ def _cull_k(nconmax: int, n: int) -> int:
   return min(n, k)
 
 
-def collision(m: Model, d: Data) -> Data:
-  """Narrowphase over the static pair list + compaction
-  (reference collision_driver.py:755).
-
-  Groups larger than _CULL_THRESHOLD get a per-step bounding-sphere
-  cull + top-K compaction first (the TPU-native analogue of the
-  reference's SAP broadphase, collision_driver.py:554-643): narrowphase
-  then runs on K gathered pairs instead of every static candidate.
-  Culled mesh pairs use decimated hulls (m.mesh_hullvert_small) so the
-  per-world hull gather stays small. Overlaps beyond K are dropped and
-  counted in ncollision (overflow observability)."""
-  from . import collision_flex
-  con = d.contact
-  nconmax = con.dist.shape[0]
-  nflex_cand = collision_flex.n_candidates(m)
-  if ((m.nxn_candidates == 0 and nflex_cand == 0) or nconmax == 0 or
-      m.opt.disableflags & DisableBit.CONTACT):
-    return d.replace(ncon=jnp.zeros((), jnp.int32))
-
-  dtype = d.qpos.dtype
-  geom_dataid = np.asarray(m.geom_dataid)
-  parts = []
-  ncull_dropped = jnp.zeros((), jnp.int32)
-
+def make_pack(parts: list, dtype):
+  """Build the parts-list packer shared by the static-NXN and SAP
+  drivers: normalizes a group's collider outputs to flat rows."""
   def pack(dist_k, pos_k, frame_k, params, g1j, g2j, k, valid=None):
-    """Normalize a group's outputs to flat per-candidate rows."""
     n = g1j.shape[0]
     dist_f = dist_k.reshape(n * k)
     if valid is not None:
@@ -137,6 +115,97 @@ def collision(m: Model, d: Data) -> Data:
         g2=jnp.repeat(jnp.asarray(g2j, jnp.int32), k),
         vert=jnp.full((n * k, 3), -1, jnp.int32),
         vertw=jnp.zeros((n * k, 3), dtype)))
+  return pack
+
+
+def finalize(d: Data, parts: list, ncull_dropped, dtype) -> Data:
+  """Candidate-pool compaction shared by the NXN and SAP drivers:
+  top-K GATHER of active rows (TPU scatters serialize; gathers don't),
+  overflow counted into ncollision (C mj_collision atomic-pool
+  analogue, reference collision_core.py:160)."""
+  con = d.contact
+  nconmax = con.dist.shape[0]
+  cat = lambda key: jnp.concatenate([p[key] for p in parts], axis=0)
+  dist = cat('dist')
+  pos = cat('pos')
+  frame = cat('frame')
+  friction = cat('friction')
+  solref = cat('solref')
+  solreffriction = cat('solreffriction')
+  solimp = cat('solimp')
+  margin = cat('margin')
+  includemargin = cat('includemargin')
+  condim = cat('condim')
+  g12 = jnp.stack([cat('g1'), cat('g2')], axis=1)
+
+  # inclusion rule: dist < margin (C mj_collision)
+  active = dist < margin
+  ncollision = jnp.sum(active.astype(jnp.int32)) + ncull_dropped
+  ncand = dist.shape[0]
+  idx_r = jnp.arange(ncand, dtype=jnp.int32)
+  key = jnp.where(active, ncand - idx_r, -idx_r)
+  _, sel = jax.lax.top_k(key, min(nconmax, ncand))
+  sel_active = active[sel]
+  ncon = jnp.minimum(jnp.sum(active.astype(jnp.int32)), nconmax)
+
+  def take(vals, fill):
+    out = jnp.where(
+        sel_active.reshape((-1,) + (1,) * (vals.ndim - 1)),
+        vals[sel], fill)
+    if out.shape[0] < nconmax:  # pad up to pool size
+      pad = jnp.broadcast_to(fill, (nconmax - out.shape[0],) + out.shape[1:])
+      out = jnp.concatenate([out, pad], axis=0)
+    return out
+
+  new_con = con.replace(
+      dist=take(dist, jnp.full((), 1e10, dtype)),
+      pos=take(pos, jnp.zeros(3, dtype)),
+      frame=take(frame, jnp.zeros((3, 3), dtype)),
+      includemargin=take(includemargin, jnp.zeros((), dtype)),
+      friction=take(friction, jnp.ones(5, dtype)),
+      solref=take(solref, jnp.full(2, 0.02, dtype)),
+      solreffriction=take(solreffriction, jnp.zeros(2, dtype)),
+      solimp=take(solimp, jnp.full(5, 0.9, dtype)),
+      dim=take(condim, jnp.ones((), jnp.int32)),
+      geom=take(g12, -jnp.ones(2, jnp.int32)),
+      vert=take(cat('vert'), -jnp.ones(3, jnp.int32)),
+      vertw=take(cat('vertw'), jnp.zeros(3, dtype)),
+  )
+  return d.replace(contact=new_con, ncon=ncon, ncollision=ncollision)
+
+
+def collision(m: Model, d: Data) -> Data:
+  """Narrowphase over the static pair list + compaction
+  (reference collision_driver.py:755).
+
+  Groups larger than _CULL_THRESHOLD get a per-step bounding-sphere
+  cull + top-K compaction first (the TPU-native analogue of the
+  reference's SAP broadphase, collision_driver.py:554-643): narrowphase
+  then runs on K gathered pairs instead of every static candidate.
+  Culled mesh pairs use decimated hulls (m.mesh_hullvert_small) so the
+  per-world hull gather stays small. Overlaps beyond K are dropped and
+  counted in ncollision (overflow observability).
+
+  Models whose filtered pair count exceeds the SAP threshold dispatch
+  to the sort-based sweep-and-prune driver instead (collision_sap.py;
+  reference auto-selection io.py:349-354)."""
+  from . import collision_flex
+  con = d.contact
+  nconmax = con.dist.shape[0]
+  nflex_cand = collision_flex.n_candidates(m)
+  if ((m.nxn_candidates == 0 and nflex_cand == 0) or nconmax == 0 or
+      m.opt.disableflags & DisableBit.CONTACT):
+    return d.replace(ncon=jnp.zeros((), jnp.int32))
+
+  if m.sap_meta:
+    from . import collision_sap
+    return collision_sap.collision(m, d)
+
+  dtype = d.qpos.dtype
+  geom_dataid = np.asarray(m.geom_dataid)
+  parts = []
+  ncull_dropped = jnp.zeros((), jnp.int32)
+  pack = make_pack(parts, dtype)
 
   for t1, t2, glist in m.collision_pairs:
     g1s = np.array([g for g, _, _ in glist])
@@ -262,55 +331,7 @@ def collision(m: Model, d: Data) -> Data:
   if nflex_cand:
     parts.extend(collision_flex.candidate_parts(m, d, dtype))
 
-  cat = lambda key: jnp.concatenate([p[key] for p in parts], axis=0)
-  dist = cat('dist')
-  pos = cat('pos')
-  frame = cat('frame')
-  friction = cat('friction')
-  solref = cat('solref')
-  solreffriction = cat('solreffriction')
-  solimp = cat('solimp')
-  margin = cat('margin')
-  includemargin = cat('includemargin')
-  condim = cat('condim')
-  g12 = jnp.stack([cat('g1'), cat('g2')], axis=1)
-
-  # inclusion rule: dist < margin (C mj_collision)
-  active = dist < margin
-  ncollision = jnp.sum(active.astype(jnp.int32)) + ncull_dropped
-  ncand = dist.shape[0]
-  # compaction by top_k GATHER (TPU scatters serialize; gathers don't):
-  # active candidates keep original order, inactive sort to the back
-  idx_r = jnp.arange(ncand, dtype=jnp.int32)
-  key = jnp.where(active, ncand - idx_r, -idx_r)
-  _, sel = jax.lax.top_k(key, min(nconmax, ncand))
-  sel_active = active[sel]
-  ncon = jnp.minimum(jnp.sum(active.astype(jnp.int32)), nconmax)
-
-  def take(vals, fill):
-    out = jnp.where(
-        sel_active.reshape((-1,) + (1,) * (vals.ndim - 1)),
-        vals[sel], fill)
-    if out.shape[0] < nconmax:  # pad up to pool size
-      pad = jnp.broadcast_to(fill, (nconmax - out.shape[0],) + out.shape[1:])
-      out = jnp.concatenate([out, pad], axis=0)
-    return out
-
-  new_con = con.replace(
-      dist=take(dist, jnp.full((), 1e10, dtype)),
-      pos=take(pos, jnp.zeros(3, dtype)),
-      frame=take(frame, jnp.zeros((3, 3), dtype)),
-      includemargin=take(includemargin, jnp.zeros((), dtype)),
-      friction=take(friction, jnp.ones(5, dtype)),
-      solref=take(solref, jnp.full(2, 0.02, dtype)),
-      solreffriction=take(solreffriction, jnp.zeros(2, dtype)),
-      solimp=take(solimp, jnp.full(5, 0.9, dtype)),
-      dim=take(condim, jnp.ones((), jnp.int32)),
-      geom=take(g12, -jnp.ones(2, jnp.int32)),
-      vert=take(cat('vert'), -jnp.ones(3, jnp.int32)),
-      vertw=take(cat('vertw'), jnp.zeros(3, dtype)),
-  )
-  return d.replace(contact=new_con, ncon=ncon, ncollision=ncollision)
+  return finalize(d, parts, ncull_dropped, dtype)
 
 
 def collide_pair(m: Model, d: Data, g1: int, g2: int, margin):

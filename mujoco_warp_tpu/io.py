@@ -196,6 +196,129 @@ def _decimate_hulls(hulls: np.ndarray, vmax: int | None = None
   return out
 
 
+def _pair_filter_matrices(mjm: mujoco.MjModel):
+  """Vectorized (ngeom, ngeom) pair admissibility — the same predicate
+  as _collision_pairs (contype/conaffinity, same-weld, parent-child,
+  <exclude>), plus the explicit <pair> id matrix. O(ngeom^2) numpy, used
+  for SAP precompute where the python double loop is too slow."""
+  n = mjm.ngeom
+  ct = mjm.geom_contype.astype(np.int64)
+  ca = mjm.geom_conaffinity.astype(np.int64)
+  affin = ((ct[:, None] & ca[None, :]) | (ct[None, :] & ca[:, None])) != 0
+  bid = mjm.geom_bodyid
+  weld = mjm.body_weldid[bid]
+  ok = affin & (weld[:, None] != weld[None, :])
+  if not (mjm.opt.disableflags & types.DisableBit.FILTERPARENT):
+    wpar = mjm.body_weldid[mjm.body_parentid[mjm.body_weldid]][bid]
+    par = ((wpar[:, None] == weld[None, :]) |
+           (wpar[None, :] == weld[:, None]))
+    par &= (weld[:, None] != 0) & (weld[None, :] != 0)
+    ok &= ~par
+  for s in mjm.exclude_signature:
+    b1, b2 = int(s) >> 16, int(s) & 0xFFFF
+    m1 = bid == b1
+    m2 = bid == b2
+    ok &= ~(m1[:, None] & m2[None, :])
+    ok &= ~(m2[:, None] & m1[None, :])
+  pairid = np.full((n, n), -1, np.int32)
+  for p in range(mjm.npair):
+    g1, g2 = int(mjm.pair_geom1[p]), int(mjm.pair_geom2[p])
+    ok[g1, g2] = ok[g2, g1] = True
+    pairid[g1, g2] = pairid[g2, g1] = p
+  np.fill_diagonal(ok, False)
+  return ok, pairid
+
+
+_SAP_THRESHOLD_DEFAULT = 10_000
+
+
+def _sap_precompute(mjm: mujoco.MjModel):
+  """Auto-select the SAP broadphase when the filtered pair count makes
+  the static NXN candidate list intractable (reference io.py:349-354:
+  NXN below 250k pairs; our XLA NXN path pays per-candidate work every
+  step, so the default threshold is lower, MJWT_SAP_THRESHOLD).
+
+  Returns (sap_meta, leaves, nxn_candidates_or_None): None means 'use
+  the static NXN path'."""
+  import os
+  from . import collision_sap
+  from . import collision_primitive
+  from . import collision_convex
+
+  threshold = int(os.environ.get('MJWT_SAP_THRESHOLD',
+                                 _SAP_THRESHOLD_DEFAULT))
+  empty = ((), dict(sap_pairs=np.zeros((0, 2), np.int32),
+                    sap_pairid=np.zeros((0,), np.int32)), None)
+  n = mjm.ngeom
+  if n < 2:
+    return empty
+  ok, pairid = _pair_filter_matrices(mjm)
+  count = int(np.triu(ok, 1).sum())
+  if count < threshold:
+    return empty
+
+  gtype = mjm.geom_type.astype(np.int32)
+  # SAP handles primitive/convex families; hfield & SDF pairs need
+  # per-geom static grids -> keep the NXN path for those models
+  special = {int(types.GeomType.HFIELD), int(types.GeomType.SDF)}
+  if any(int(t) in special for t in np.unique(gtype)):
+    return empty
+
+  ti = gtype[:, None]
+  tj = gtype[None, :]
+  kmin = np.minimum(ti, tj)
+  kmax = np.maximum(ti, tj)
+  iu = np.triu_indices(n, 1)
+  present = sorted({(int(a), int(b))
+                    for a, b in zip(kmin[iu][ok[iu]], kmax[iu][ok[iu]])})
+  _PLANE = int(types.GeomType.PLANE)
+  for key in present:
+    supported = (key in collision_primitive.MAX_CONTACTS or
+                 (key[0] in collision_convex.SUPPORT and
+                  key[1] in collision_convex.SUPPORT) or
+                 key[0] == _PLANE)
+    if not supported:
+      raise NotImplementedError(f'collision pair type {key} not supported')
+
+  # plane pairs can't ride the sweep (a plane has no bounding interval,
+  # geom_rbound = 0) — enumerate them statically like the NXN path
+  plane_groups = []
+  for (a, b) in [k for k in present if k[0] == _PLANE]:
+    pl = np.nonzero(gtype == a)[0] if a == _PLANE else ()
+    pairs = []
+    for g1 in np.nonzero(gtype == _PLANE)[0]:
+      for g2 in np.nonzero((gtype == b) & ok[g1])[0]:
+        if int(g1) != int(g2):
+          pairs.append((int(g1), int(g2), int(pairid[g1, g2])))
+    if pairs:
+      plane_groups.append((int(a), int(b), tuple(pairs)))
+  present = [k for k in present if k[0] != _PLANE]
+
+  # one (g1, g2, pairid) array slice per family, g1 carrying type1
+  # (collider argument order), concatenated into the sap_pairs leaf
+  fam_rows, fam_pids, families = [], [], []
+  start = 0
+  for (a, b) in present:
+    mask = np.triu(ok, 1) & ((kmin == a) & (kmax == b))
+    i1, i2 = np.nonzero(mask)
+    swap = gtype[i1] != a
+    g1 = np.where(swap, i2, i1).astype(np.int32)
+    g2 = np.where(swap, i1, i2).astype(np.int32)
+    fam_rows.append(np.stack([g1, g2], axis=1))
+    fam_pids.append(pairid[i1, i2])
+    families.append((int(a), int(b), start, int(len(i1))))
+    start += len(i1)
+
+  meta = collision_sap.SapMeta(
+      families=tuple(families), plane_groups=tuple(plane_groups))
+  leaves = dict(
+      sap_pairs=(np.concatenate(fam_rows, 0) if fam_rows
+                 else np.zeros((0, 2), np.int32)),
+      sap_pairid=(np.concatenate(fam_pids, 0).astype(np.int32)
+                  if fam_pids else np.zeros((0,), np.int32)))
+  return meta, leaves, count
+
+
 def _collision_pairs(mjm: mujoco.MjModel):
   """Static broadphase precompute: filtered geom pair list grouped by
   (type1, type2) with MuJoCo's contype/conaffinity, same-weld,
@@ -605,10 +728,26 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       adr, num = int(mjm.body_dofadr[bb]), int(mjm.body_dofnum[bb])
       body_dof_mask[b, adr:adr + num] = 1.0
       bb = int(mjm.body_parentid[bb])
-  collision_pairs, nxn_candidates = _collision_pairs(mjm)
+  sap_meta, sap_leaves, sap_count = _sap_precompute(mjm)
+  if sap_meta:
+    collision_pairs, nxn_candidates = (), sap_count
+  else:
+    collision_pairs, nxn_candidates = _collision_pairs(mjm)
 
   # static condim per pair drives the efc row layout
   condims = [1]
+  if sap_meta:
+    # vectorized condim mixing over the admissible-pair matrix
+    ok, pidm = _pair_filter_matrices(mjm)
+    pr = mjm.geom_priority.astype(np.int32)
+    cd = mjm.geom_condim.astype(np.int32)
+    mixed = np.where(pr[:, None] > pr[None, :], cd[:, None],
+                     np.where(pr[None, :] > pr[:, None], cd[None, :],
+                              np.maximum(cd[:, None], cd[None, :])))
+    if mjm.npair:
+      mixed = np.where(pidm >= 0, mjm.pair_dim[np.maximum(pidm, 0)], mixed)
+    if ok.any():
+      condims.append(int(mixed[ok].max()))
   for _, _, glist in collision_pairs:
     for g1, g2, pid in glist:
       if pid >= 0:
@@ -849,8 +988,10 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       dof_vpre_mask=_jp(_dof_vpre_mask(mjm)),
       flex_meta=flex_meta,
       tactile_meta=tactile_meta,
+      sap_meta=sap_meta,
       **{k: (_jp(v, dtype=jnp.int32) if v.dtype.kind == 'i' else _jp(v))
-         for k, v in {**flex_leaves, **tactile_leaves}.items()},
+         for k, v in {**flex_leaves, **tactile_leaves,
+                      **sap_leaves}.items()},
   )
 
 

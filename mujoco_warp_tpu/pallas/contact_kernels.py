@@ -58,6 +58,8 @@ def supports(m: Model, d) -> bool:
     return False
   if m.flex_meta.nflex:
     return False
+  if m.sap_meta:  # dynamic-pair SAP models use the XLA driver
+    return False
   for j in range(m.njnt):
     if m.jnt_limited[j] and m.jnt_type[j] not in (JointType.SLIDE,
                                                   JointType.HINGE):

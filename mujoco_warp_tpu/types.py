@@ -366,6 +366,10 @@ _MODEL_META = (
     # taxel_count, has_frame, other_groups) where other_groups is a
     # tuple of (geom_type, tuple(geom ids)) the sensor can touch
     'tactile_meta',
+    # SAP broadphase (auto-selected for large filtered pair counts,
+    # reference io.py:349-354 + collision_driver.py:554 sap_broadphase):
+    # () = NXN static pair list, else a collision_sap.SapMeta
+    'sap_meta',
 )
 
 
@@ -630,6 +634,13 @@ class Model:
   taxel_pos: jax.Array              # (ntaxel, 3) geom-frame positions
   taxel_normal: jax.Array           # (ntaxel, 3) geom-frame normals
   taxel_tang: jax.Array             # (ntaxel, 2, 3) tangent frame (or 0)
+  # large-scene broadphase pair arrays (empty (0, ...) when sap_meta
+  # is ()): admissible pairs concatenated per family (slices in
+  # sap_meta.families), g1 in collider argument order, plus the
+  # explicit <pair> id per row (-1 = none)
+  sap_meta: object                  # static (in _MODEL_META)
+  sap_pairs: jax.Array              # (npairs, 2) int32
+  sap_pairid: jax.Array             # (npairs,) int32
 
 
 # ---------------------------------------------------------------------------

@@ -37,10 +37,21 @@ def _contact_set(d):
   return dist[keep][order], pos[keep][order]
 
 
+
+def _put_model_nxn(mjm):
+  """Pin the static NXN driver: these tests exercise its cull path,
+  and the grid fixture's pair count now crosses the auto-SAP threshold."""
+  os.environ['MJWT_SAP_THRESHOLD'] = str(10 ** 9)
+  try:
+    return mjwt.put_model(mjm)
+  finally:
+    del os.environ['MJWT_SAP_THRESHOLD']
+
+
 def test_cull_matches_full():
   xml = _grid_spheres()
   mjm = mujoco.MjModel.from_xml_string(xml)
-  m = mjwt.put_model(mjm)
+  m = _put_model_nxn(mjm)
   assert any(len(gl) > collision_driver._CULL_THRESHOLD_CHEAP
              for _, _, gl in m.collision_pairs)
   d = mjwt.make_data(m, nconmax=16)
@@ -70,7 +81,7 @@ def test_cull_overflow_counted():
   ncollision (> ncon signals overflow)."""
   xml = _grid_spheres()
   mjm = mujoco.MjModel.from_xml_string(xml)
-  m = mjwt.put_model(mjm)
+  m = _put_model_nxn(mjm)
   d = mjwt.make_data(m, nconmax=16)
   os.environ['MJWT_CULL_K'] = '2'
   try:
@@ -86,7 +97,7 @@ def test_cull_dynamics_oracle():
   xml = _grid_spheres(n=9)
   mjm = mujoco.MjModel.from_xml_string(xml)
   mjd = mujoco.MjData(mjm)
-  m = mjwt.put_model(mjm)
+  m = _put_model_nxn(mjm)
   d = mjwt.make_data(m, nconmax=16)
   step = jax.jit(lambda dd: mjwt.step(m, dd))
   for _ in range(50):
