@@ -95,9 +95,21 @@ def main():
   ap.add_argument('--all', action='store_true')
   ap.add_argument('--nworld', type=int, default=None)
   ap.add_argument('--nstep', type=int, default=None)
+  ap.add_argument('--out', default=None,
+                  help='append each result as a JSONL line (with commit '
+                       '+ timestamp) to this file')
   args = ap.parse_args()
   table = parse_config()
   names = list(table) if args.all else args.configs
+  commit = None
+  if args.out:
+    import subprocess
+    try:
+      commit = subprocess.run(['git', 'rev-parse', '--short', 'HEAD'],
+                              capture_output=True, text=True,
+                              cwd=os.path.dirname(__file__)).stdout.strip()
+    except Exception:
+      pass
   for name in names:
     if name not in table:
       print(json.dumps({'metric': name, 'error': 'unknown config'}))
@@ -106,10 +118,15 @@ def main():
       t0 = time.time()
       res = run_config(name, table[name], args.nworld, args.nstep)
       res['total_s'] = round(time.time() - t0, 1)
-      print(json.dumps(res), flush=True)
     except Exception as e:  # keep the suite going past one bad scene
-      print(json.dumps({'metric': name, 'error': f'{type(e).__name__}: '
-                        f'{str(e)[:300]}'}), flush=True)
+      res = {'metric': name, 'error': f'{type(e).__name__}: '
+             f'{str(e)[:300]}'}
+    print(json.dumps(res), flush=True)
+    if args.out:
+      with open(args.out, 'a') as f:
+        f.write(json.dumps({**res, 'commit': commit,
+                            'ts': time.strftime('%Y-%m-%dT%H:%M:%S')}) +
+                '\n')
 
 
 if __name__ == '__main__':

@@ -454,56 +454,77 @@ def _mega_gates(m: Model):
   return use_mega, force and not on_tpu
 
 
-def forward_batched(m: Model, d: Data) -> Data:
-  """forward() over a leading world axis: the smooth pipeline runs as
-  one Pallas megakernel on TPU; collision/constraint/solver stay at XLA
-  level; linear solves batch to one Pallas kernel each."""
+def batched_stages(m: Model, d: Data) -> list:
+  """[(name, fn)] for the EXACT stage sequence forward_batched executes
+  for this (m, d) — dispatch decisions (mega gates, fused solver)
+  resolved. forward_batched folds this list; testspeed --event_trace
+  times the same list, so the trace describes the real hot path."""
   vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
   # size guard: Mosaic compile time for the statically-unrolled smooth
   # kernel grows superlinearly with the tree size — a 3-humanoid scene
   # (nv=81) sat in the remote compiler for hours. Past the cap the XLA
   # path compiles in minutes and is the better trade.
   use_mega, interp = _mega_gates(m)
+  stages = []
+  add = lambda name, fn: stages.append((name, fn))
   if use_mega:
-    d = _smooth_mega_batched(m, d, interpret=interp)
+    add('smooth_mega[pallas]',
+        lambda dd: _smooth_mega_batched(m, dd, interpret=interp))
     if m.ncam or m.nlight:
-      d = vm(smooth.camlight)(d)
+      add('camlight', vm(smooth.camlight))
     if m.ntendon:
-      d = vm(smooth.tendon)(d)
-      d = vm(smooth.tendon_armature)(d)
+      add('tendon', vm(smooth.tendon))
+      add('tendon_armature', vm(smooth.tendon_armature))
     from .pallas import contact_kernels
     nconmax = d.contact.dist.shape[-1]
     if (m.opt.run_collision_detection and nconmax > 0 and
         contact_kernels.supports(m, d)):
       # collision + constraint assembly fused into one Pallas kernel
       kernel, meta = contact_kernels.make_contact_kernel(m, nconmax)
-      d = contact_kernels.contact_efc(m, d, kernel, meta, interpret=interp)
+      add('contact_efc_mega[pallas]',
+          lambda dd: contact_kernels.contact_efc(m, dd, kernel, meta,
+                                                 interpret=interp))
     else:
       if m.opt.run_collision_detection:
-        d = vm(collision_driver.collision)(d)
-      d = vm(constraint.make_constraint)(d)
-    d = vm(smooth.transmission)(d)
-    d = vm(sensor_mod.sensor_pos)(d)
+        add('collision', vm(collision_driver.collision))
+      add('make_constraint', vm(constraint.make_constraint))
+    add('transmission', vm(smooth.transmission))
+    add('sensor_pos', vm(sensor_mod.sensor_pos))
+
     # velocity stage: tree math (com_vel/rne) already done in the mega
     # kernel; only actuator/tendon velocities + passive forces remain
-    if m.nu:
-      d = d.replace(actuator_velocity=jnp.einsum(
-          'wun,wn->wu', d.actuator_moment, d.qvel, **_EINSUM))
-    if m.ntendon:
-      d = d.replace(ten_velocity=jnp.einsum(
-          'wtn,wn->wt', d.ten_J, d.qvel, **_EINSUM))
-      d = vm(smooth.tendon_bias)(d)
-    d = vm(passive_mod.passive)(d)
-    d = vm(sensor_mod.sensor_vel)(d)
+    def vel_glue(dd):
+      if m.nu:
+        dd = dd.replace(actuator_velocity=jnp.einsum(
+            'wun,wn->wu', dd.actuator_moment, dd.qvel, **_EINSUM))
+      if m.ntendon:
+        dd = dd.replace(ten_velocity=jnp.einsum(
+            'wtn,wn->wt', dd.ten_J, dd.qvel, **_EINSUM))
+        dd = vm(smooth.tendon_bias)(dd)
+      return dd
+    add('velocity_glue', vel_glue)
+    add('passive', vm(passive_mod.passive))
+    add('sensor_vel', vm(sensor_mod.sensor_vel))
   else:
-    d = vm(fwd_position, factorize=False)(d)
-    d = vm(sensor_mod.sensor_pos)(d)
-    d = vm(fwd_velocity)(d)
-    d = vm(sensor_mod.sensor_vel)(d)
-  d = vm(fwd_actuation)(d)
-  d = _fwd_acceleration_batched(m, d)
-  d = solver_mod.solve(m, d)            # batch-polymorphic
-  d = vm(sensor_mod.sensor_acc)(d)
+    add('fwd_position', vm(fwd_position, factorize=False))
+    add('sensor_pos', vm(sensor_mod.sensor_pos))
+    add('fwd_velocity', vm(fwd_velocity))
+    add('sensor_vel', vm(sensor_mod.sensor_vel))
+  add('fwd_actuation', vm(fwd_actuation))
+  add('fwd_acceleration', lambda dd: _fwd_acceleration_batched(m, dd))
+  fused = solver_mod.uses_fused_kernel(m, d)
+  add('solve[pallas]' if fused else 'solve',
+      lambda dd: solver_mod.solve(m, dd))
+  add('sensor_acc', vm(sensor_mod.sensor_acc))
+  return stages
+
+
+def forward_batched(m: Model, d: Data) -> Data:
+  """forward() over a leading world axis: the smooth pipeline runs as
+  one Pallas megakernel on TPU; collision/constraint/solver stay at XLA
+  level; linear solves batch to one Pallas kernel each."""
+  for _, fn in batched_stages(m, d):
+    d = fn(d)
   return d
 
 

@@ -25,6 +25,8 @@ _UNROLL_MAX = 32  # above this, unrolling blows up compile time; use
 def cholesky(a: jax.Array) -> jax.Array:
   """Lower Cholesky factor of SPD (n, n), unrolled column-by-column."""
   n = a.shape[-1]
+  if n == 0:           # static-only models (nv = 0)
+    return a
   if n > _UNROLL_MAX:
     return jnp.linalg.cholesky(a)
   cols = []

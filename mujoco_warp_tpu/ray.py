@@ -181,6 +181,104 @@ def ray_mesh(faces, pos, mat, pnt, vec):
   return jnp.min(jnp.where(hit, t, _INF))
 
 
+def ray_hfield(m: Model, hid: int, pos, mat, pnt, vec):
+  """Ray vs height field: base box + the two triangles of every cell +
+  the four side walls clipped by the terrain edge profile (reference
+  ray.py:452-620 ray_hfield; C mju_rayHfield). The reference walks only
+  the cells along the ray; on TPU a masked sweep over the whole static
+  grid is the natural formulation (same trade as ray_mesh)."""
+  nr, nc = m.hfield_nrow[hid], m.hfield_ncol[hid]
+  size = m.hfield_size[hid]
+  grid = m.hfield_data[hid, :nr, :nc]              # normalized heights
+  sx, sy, sz, sb = size[0], size[1], size[2], size[3]
+  dtype = pnt.dtype
+
+  # base box (below z=0, depth sb)
+  zcol = mat[:, 2]
+  t_base = ray_box(pos - zcol * (sb * 0.5), mat,
+                   jnp.stack([sx, sy, sb * 0.5]), pnt, vec)
+
+  # surface triangles (C's cell triangulation)
+  faces = hfield_faces(m, hid, dtype)
+  t_tri = ray_mesh(faces, pos, mat, pnt, vec)
+
+  # side walls of the terrain prism, solid below the edge profile
+  p = mat.T @ (pnt - pos)
+  v = mat.T @ vec
+  dxc = 2.0 * sx / (nc - 1)
+  dyc = 2.0 * sy / (nr - 1)
+
+  def wall(axis, sign, edge, other_half, cellw, ncells):
+    vn = v[axis]
+    vsafe = jnp.where(jnp.abs(vn) < 1e-12, 1.0, vn)
+    t = (sign * (sx if axis == 0 else sy) - p[axis]) / vsafe
+    q = p + t * v
+    oth = q[1 - axis]
+    u = (oth + other_half) / cellw
+    u0 = jnp.clip(jnp.floor(u), 0, ncells - 2).astype(jnp.int32)
+    z0 = edge[u0]
+    z1 = edge[u0 + 1]
+    zlim = z0 * (u0 + 1.0 - u) + z1 * (u - u0)
+    ok = ((jnp.abs(vn) >= 1e-12) & (t >= 0) &
+          (jnp.abs(oth) <= other_half) &
+          (q[2] >= 0) & (q[2] / jnp.maximum(sz, 1e-12) < zlim))
+    return jnp.where(ok, t, _INF)
+
+  t_walls = _positive_min(
+      wall(0, -1.0, grid[:, 0], sy, dyc, nr),
+      wall(0, 1.0, grid[:, -1], sy, dyc, nr),
+      wall(1, -1.0, grid[0, :], sx, dxc, nc),
+      wall(1, 1.0, grid[-1, :], sx, dxc, nc))
+
+  return jnp.minimum(jnp.minimum(t_base, t_tri), t_walls)
+
+
+def ray_mesh_hit(faces, pos, mat, pnt, vec):
+  """ray_mesh + the world-frame normal of the hit face (oriented
+  against the ray). Used by the renderer for shading."""
+  p = mat.T @ (pnt - pos)
+  v = mat.T @ vec
+  a = faces[:, 0]
+  e1 = faces[:, 1] - a
+  e2 = faces[:, 2] - a
+  pvec = jnp.cross(v[None, :], e2)
+  det = jnp.einsum('fi,fi->f', e1, pvec)
+  ok = jnp.abs(det) > 1e-12
+  inv = 1.0 / jnp.where(ok, det, 1.0)
+  tvec = p[None, :] - a
+  u = jnp.einsum('fi,fi->f', tvec, pvec) * inv
+  qvec = jnp.cross(tvec, e1)
+  w = jnp.einsum('i,fi->f', v, qvec) * inv
+  t = jnp.einsum('fi,fi->f', e2, qvec) * inv
+  hit = ok & (u >= 0) & (w >= 0) & (u + w <= 1) & (t >= 0)
+  tall = jnp.where(hit, t, _INF)
+  i = jnp.argmin(tall)
+  n_loc = jnp.cross(e1[i], e2[i])
+  n_loc = n_loc * jnp.sign(-jnp.dot(n_loc, v))
+  n = math.normalize(mat @ n_loc)
+  return tall[i], n
+
+
+def hfield_faces(m: Model, hid: int, dtype=jnp.float32):
+  """(F, 3, 3) local-frame surface triangles of a height field (C cell
+  triangulation; shared by ray_hfield and the renderer)."""
+  nr, nc = m.hfield_nrow[hid], m.hfield_ncol[hid]
+  size = m.hfield_size[hid]
+  grid = m.hfield_data[hid, :nr, :nc]
+  xs = (2.0 * jnp.arange(nc, dtype=dtype) / (nc - 1) - 1.0) * size[0]
+  ys = (2.0 * jnp.arange(nr, dtype=dtype) / (nr - 1) - 1.0) * size[1]
+  V = jnp.stack([jnp.broadcast_to(xs[None, :], (nr, nc)),
+                 jnp.broadcast_to(ys[:, None], (nr, nc)),
+                 grid * size[2]], axis=-1)
+  v00 = V[:-1, :-1].reshape(-1, 3)
+  v10 = V[:-1, 1:].reshape(-1, 3)
+  v01 = V[1:, :-1].reshape(-1, 3)
+  v11 = V[1:, 1:].reshape(-1, 3)
+  return jnp.concatenate([
+      jnp.stack([v00, v10, v11], axis=1),
+      jnp.stack([v00, v11, v01], axis=1)], axis=0)
+
+
 def ray_geom(m: Model, d: Data, geomid: int, pnt: jax.Array,
              vec: jax.Array) -> jax.Array:
   """t for one (static-id) geom."""
@@ -188,6 +286,9 @@ def ray_geom(m: Model, d: Data, geomid: int, pnt: jax.Array,
   if gtype == GeomType.MESH and m.geom_dataid[geomid] >= 0:
     return ray_mesh(m.mesh_faces[m.geom_dataid[geomid]],
                     d.geom_xpos[geomid], d.geom_xmat[geomid], pnt, vec)
+  if gtype == GeomType.HFIELD and m.geom_dataid[geomid] >= 0:
+    return ray_hfield(m, m.geom_dataid[geomid], d.geom_xpos[geomid],
+                      d.geom_xmat[geomid], pnt, vec)
   fn = RAY_FN.get(gtype)
   if fn is None:
     return jnp.full((), _INF, pnt.dtype)
@@ -206,8 +307,9 @@ def ray(m: Model, d: Data, pnt: jax.Array, vec: jax.Array,
     if m.geom_bodyid[g] == bodyexclude:
       continue
     gt = GeomType(m.geom_type[g])
-    if gt not in RAY_FN and not (gt == GeomType.MESH and
-                                 m.geom_dataid[g] >= 0):
+    if (gt not in RAY_FN and
+        not (gt in (GeomType.MESH, GeomType.HFIELD) and
+             m.geom_dataid[g] >= 0)):
       continue
     ts.append(ray_geom(m, d, g, pnt, vec))
     ids.append(g)

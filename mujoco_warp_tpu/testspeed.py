@@ -23,12 +23,15 @@ import numpy as np
 
 
 def _stage_times(m, batch, nrep=20):
-  """Per-stage isolated timings (stage boundaries force materialization,
-  so these exceed their fused share — ratios matter; the reference's
-  event_trace has the same caveat at stage granularity)."""
-  from . import forward as fwd
-  from . import sensor as sensor_mod
-  from . import solver as solver_mod
+  """Per-stage timings of the REAL step_batched pipeline: the stage
+  list comes from forward.batched_stages, i.e. the exact sequence (and
+  kernel dispatch — Pallas megakernels included) that step_batched
+  executes, plus the integrator. Stage boundaries force
+  materialization, so each stage exceeds its fused share — ratios
+  matter (the reference's event_trace has the same caveat)."""
+  import importlib
+  fwd = importlib.import_module(f'{__package__}.forward')
+  from .types import IntegratorType
 
   out = {}
 
@@ -43,14 +46,15 @@ def _stage_times(m, batch, nrep=20):
     out[name] = (time.perf_counter() - t0) / nrep * 1e6
     return res
 
-  vm = lambda f, **kw: (lambda b: jax.vmap(lambda dd: f(m, dd, **kw))(b))
-  b = timeit('step.forward.fwd_position', vm(fwd.fwd_position), batch)
-  b = timeit('step.forward.sensor_pos', vm(sensor_mod.sensor_pos), b)
-  b = timeit('step.forward.fwd_velocity', vm(fwd.fwd_velocity), b)
-  b = timeit('step.forward.fwd_actuation', vm(fwd.fwd_actuation), b)
-  b = timeit('step.forward.fwd_acceleration',
-             lambda bb: fwd._fwd_acceleration_batched(m, bb), b)
-  b = timeit('step.forward.solve', lambda bb: solver_mod.solve(m, bb), b)
+  b = batch
+  for name, fn in fwd.batched_stages(m, batch):
+    b = timeit(f'step.forward.{name}', fn, b)
+  integ = {IntegratorType.EULER: ('euler', fwd._euler_batched),
+           IntegratorType.RK4: ('rk4', fwd._rk4_batched),
+           IntegratorType.IMPLICITFAST: ('implicitfast',
+                                         fwd._implicit_batched)}
+  iname, ifn = integ[m.opt.integrator]
+  timeit(f'step.{iname}', lambda bb: ifn(m, bb), b)
   return out
 
 
@@ -102,8 +106,10 @@ def main(argv=None):
       final.solver_niter.astype(jnp.float32), 95))
 
   if args.event_trace:
+    # `batch` was donated into the benchmark loop; trace on the final
+    # state (same shapes, warm regime — contacts/efc active)
     metrics['event_trace_us'] = {k: round(v, 1) for k, v in
-                                 _stage_times(m, batch).items()}
+                                 _stage_times(m, final).items()}
 
   if args.output == 'json':
     print(json.dumps(metrics))

@@ -106,3 +106,37 @@ def test_ray_mesh():
     assert (int(gid) >= 0) == (geomid_ref[0] >= 0), (pnt, vec)
     if geomid_ref[0] >= 0:
       assert abs(float(t) - t_ref) < 1e-4, (float(t), t_ref)
+
+
+def test_ray_hfield_oracle():
+  """Hfield rays match C mj_ray over random rays (reference
+  ray.py:452-620 ray_hfield; triangles + base box + side walls)."""
+  rng = np.random.default_rng(3)
+  xml = """
+  <mujoco>
+    <asset><hfield name="hf" nrow="9" ncol="11" size="1.0 0.8 0.3 0.1"/></asset>
+    <worldbody>
+      <geom type="hfield" hfield="hf" pos="0.1 -0.05 0.02" euler="0 0 15"/>
+      <body pos="0 0 2"><freejoint/><geom type="sphere" size="0.05"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjm.hfield_data[:] = rng.uniform(0, 1, mjm.hfield_data.shape)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = mjwt.put_model(mjm)
+  d = mjwt.make_data(m, nconmax=4)
+  d = mjwt.fwd_position(m, d)
+  geomid = np.zeros(1, np.int32)
+  for _ in range(60):
+    pnt = rng.uniform(-1.5, 1.5, 3)
+    pnt[2] = rng.uniform(0.5, 2.0)
+    vec = rng.normal(0, 1, 3)
+    vec /= np.linalg.norm(vec)
+    t_c = mujoco.mj_ray(mjm, mjd, pnt, vec, None, 1, -1, geomid)
+    _, t_o = mjwt.ray.ray(m, d, jnp.asarray(pnt, jnp.float32),
+                          jnp.asarray(vec, jnp.float32))
+    t_o = float(t_o)
+    assert (t_c < 0) == (t_o < 0), (pnt, vec, t_c, t_o)
+    if t_c >= 0:
+      assert abs(t_c - t_o) < 1e-4, (pnt, vec, t_c, t_o)

@@ -14,6 +14,7 @@ from fixtures import fixture
 SCENE = """
 <mujoco>
   <worldbody>
+    <light pos="0 -3 3" dir="0 1 -1" directional="true" castshadow="true"/>
     <geom name="floor" type="plane" size="5 5 1" rgba="0.5 0.5 0.5 1"/>
     <body pos="0 0 0.5">
       <freejoint/>
@@ -67,3 +68,104 @@ def test_miss_is_background():
   # top rows look above the horizon: plane is edge-on, sphere above
   assert int(seg[0, 0, 0]) == -1
   assert float(depth[0, 0, 0]) == -1.0
+
+
+def test_shadow_darkens_floor():
+  """A box under a directional light casts a visible shadow on the
+  floor (reference render.py:472-512 shadow any-hit, 0.3 visibility)."""
+  xml = """
+  <mujoco>
+    <worldbody>
+      <light pos="0 0 5" dir="-0.6 0 -1" directional="true"
+             castshadow="true"/>
+      <geom name="floor" type="plane" size="5 5 1" rgba="0.8 0.8 0.8 1"/>
+      <body pos="0 0 0.5"><freejoint/>
+        <geom name="blocker" type="box" size="0.4 0.4 0.05" mass="1"/></body>
+      <camera name="top" pos="0 0 4" fovy="70"/>
+    </worldbody>
+  </mujoco>
+  """
+  mjm, mjd, m, d = fixture(xml)
+  d = mjwt.fwd_position(m, d)
+  rc = render_mod.create_render_context(mjm, m, 48, 48)
+  assert rc.use_shadows
+  rgb, depth, seg = render_mod.render(m, d, rc)
+  floor_id = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_GEOM, 'floor')
+  floor_px = np.asarray(seg[0]) == floor_id
+  vals = np.asarray(rgb[0])[..., 0][floor_px]
+  assert floor_px.sum() > 50
+  # shadowed floor pixels are markedly darker than lit ones
+  assert vals.min() < 0.55 * vals.max(), (vals.min(), vals.max())
+
+  rc2 = render_mod.create_render_context(mjm, m, 48, 48,
+                                         use_shadows=False)
+  rgb2, _, _ = render_mod.render(m, d, rc2)
+  vals2 = np.asarray(rgb2[0])[..., 0][floor_px]
+  assert vals2.min() > 0.8 * vals2.max()  # no shadow without the flag
+
+
+def test_plane_texture_checker():
+  """Checker plane texture produces two distinct floor colors
+  (reference render.py:65-84 sample_texture)."""
+  xml = """
+  <mujoco>
+    <asset>
+      <texture name="grid" type="2d" builtin="checker" rgb1="1 0 0"
+               rgb2="0 0 1" width="32" height="32"/>
+      <material name="gridmat" texture="grid" texrepeat="1 1"/>
+    </asset>
+    <worldbody>
+      <light pos="0 0 5" dir="0 0 -1" directional="true"
+             castshadow="false"/>
+      <geom name="floor" type="plane" size="3 3 1" material="gridmat"/>
+      <camera name="top" pos="0 0 4" fovy="60"/>
+    </worldbody>
+  </mujoco>
+  """
+  mjm, mjd, m, d = fixture(xml)
+  d = mjwt.fwd_position(m, d)
+  rc = render_mod.create_render_context(mjm, m, 48, 48)
+  assert rc.use_textures
+  rgb, _, seg = render_mod.render(m, d, rc)
+  img = np.asarray(rgb[0])
+  hit = np.asarray(seg[0]) >= 0
+  red = (img[..., 0] > img[..., 2]) & hit
+  blue = (img[..., 2] > img[..., 0]) & hit
+  # both checker colors are visible in roughly comparable amounts
+  assert red.sum() > 100 and blue.sum() > 100
+
+
+def test_mesh_and_hfield_render():
+  """Mesh and hfield geoms appear in depth/segmentation output."""
+  hdata = ' '.join(['0.5'] * 25)
+  xml = f"""
+  <mujoco>
+    <asset>
+      <hfield name="hf" nrow="5" ncol="5" size="1 1 0.4 0.1"/>
+      <mesh name="tet" vertex="0 0 0  0.3 0 0  0 0.3 0  0 0 0.3"/>
+    </asset>
+    <worldbody>
+      <light pos="0 0 5" dir="0 0 -1" directional="true"/>
+      <geom name="terrain" type="hfield" hfield="hf" contype="0"
+            conaffinity="0"/>
+      <body pos="0 0 1"><freejoint/>
+        <geom name="blob" type="mesh" mesh="tet" mass="0.2" contype="0"
+              conaffinity="0"/></body>
+      <camera name="top" pos="0 0 3" fovy="70"/>
+    </worldbody>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjm.hfield_data[:] = 0.5
+  m = mjwt.put_model(mjm)
+  d = mjwt.make_data(m, nconmax=8)
+  d = mjwt.fwd_position(m, d)
+  rc = render_mod.create_render_context(mjm, m, 32, 32)
+  rgb, depth, seg = render_mod.render(m, d, rc)
+  ids = set(np.unique(np.asarray(seg[0])))
+  terrain = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_GEOM, 'terrain')
+  blob = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_GEOM, 'blob')
+  assert terrain in ids and blob in ids
+  # hfield top surface at z = 0.5*0.4 = 0.2 -> depth from cam at z=3
+  center = float(depth[0, 16, 16])
+  assert abs(center - (3 - 0.2 - 1e-9)) < 0.35 or abs(center - 2.7) < 0.35
