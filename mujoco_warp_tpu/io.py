@@ -1357,24 +1357,55 @@ def override_model(m: Model, overrides: list[str] | str) -> Model:
   return dataclasses.replace(m, opt=opt)
 
 
-def set_length_range(m: Model, mjm: mujoco.MjModel,
-                     **kwargs) -> Model:
-  """Estimate actuator length ranges by simulation and refresh
-  Model.actuator_lengthrange (reference io.py:2465 set_length_range).
+def set_length_range(m: Model, mjm: mujoco.MjModel | None = None,
+                     simulate: bool = False, **kwargs) -> Model:
+  """Refresh Model.actuator_lengthrange (reference io.py:2465
+  set_length_range; C mj_setLengthRange).
 
-  Length-range estimation is a model-compile-time utility, so the
-  honest engineering choice on any backend is the C implementation:
-  mj_setLengthRange drives each actuator to its limits with the native
-  engine, then the result is re-uploaded. kwargs map to mjLROpt fields
-  (e.g. accel, maxforce, timestep)."""
-  opt = mujoco.MjLROpt()
-  for k, v in kwargs.items():
-    setattr(opt, k, v)
-  mjd = mujoco.MjData(mjm)
-  for u in range(mjm.nu):
-    mujoco.mj_setLengthRange(mjm, mjd, u, opt)
-  return dataclasses.replace(
-      m, actuator_lengthrange=_jp(mjm.actuator_lengthrange))
+  Default (simulate=False) is the reference's own semantics: joint and
+  tendon transmissions with limits copy the limit range scaled by gear
+  (gear-sign aware); other actuators keep (0, 0). This path is pure
+  device math — it works on vmapped/randomized Model batches (gear and
+  ranges may be traced arrays).
+
+  simulate=True runs C mj_setLengthRange instead (drives each actuator
+  to its limits with the native engine — covers general transmissions,
+  single model only; kwargs map to mjLROpt fields, requires mjm)."""
+  if simulate:
+    if mjm is None:
+      raise ValueError('simulate=True needs the source MjModel')
+    opt = mujoco.MjLROpt()
+    for k, v in kwargs.items():
+      setattr(opt, k, v)
+    mjd = mujoco.MjData(mjm)
+    for u in range(mjm.nu):
+      mujoco.mj_setLengthRange(mjm, mjd, u, opt)
+    return dataclasses.replace(
+        m, actuator_lengthrange=_jp(mjm.actuator_lengthrange))
+
+  if m.nu == 0:
+    return m
+  from .types import TrnType
+  gear0 = m.actuator_gear[..., :, 0]                   # (..., nu)
+  lr = jnp.zeros(m.actuator_gear.shape[:-1] + (2,), gear0.dtype)
+  for u in range(m.nu):
+    trn = m.actuator_trntype[u]
+    oid = m.actuator_trnid[u][0]
+    if trn in (TrnType.JOINT, TrnType.JOINTINPARENT):
+      if not m.jnt_limited[oid]:
+        continue
+      rng = m.jnt_range[..., oid, :]
+    elif trn == TrnType.TENDON:
+      if not m.tendon_limited[oid]:
+        continue
+      rng = m.tendon_range[..., oid, :]
+    else:
+      continue                    # site/body/slidercrank: no limit copy
+    g = gear0[..., u]
+    lo = jnp.where(g >= 0, rng[..., 0] * g, rng[..., 1] * g)
+    hi = jnp.where(g >= 0, rng[..., 1] * g, rng[..., 0] * g)
+    lr = lr.at[..., u, 0].set(lo).at[..., u, 1].set(hi)
+  return dataclasses.replace(m, actuator_lengthrange=lr)
 
 
 # ---------------------------------------------------------------------------

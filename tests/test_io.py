@@ -134,6 +134,45 @@ def test_set_length_range():
   </mujoco>"""
   mjm = mujoco.MjModel.from_xml_string(xml)
   m = mjwt.put_model(mjm)
-  m2 = io_mod.set_length_range(m, mjm)
+  m2 = io_mod.set_length_range(m, mjm, simulate=True)
   lr = np.asarray(m2.actuator_lengthrange[0])
   assert lr[1] > lr[0] > 0
+
+
+def test_set_length_range_native():
+  """Native limit-copy semantics (reference io.py:2465): joint/tendon
+  transmissions with limits get gear-scaled limit ranges, gear-sign
+  aware; vmapped gear works."""
+  xml = """
+  <mujoco>
+    <worldbody>
+      <body><joint name="j1" type="hinge" range="-1 2" limited="true"/>
+        <geom type="capsule" size="0.05" fromto="0 0 0 0.3 0 0"/>
+        <site name="s1" pos="0.3 0 0"/></body>
+      <site name="s0" pos="0 0 1"/>
+    </worldbody>
+    <tendon><spatial name="t1" range="0.2 1.5" limited="true">
+      <site site="s0"/><site site="s1"/></spatial></tendon>
+    <actuator>
+      <motor joint="j1" gear="2"/>
+      <motor joint="j1" gear="-3"/>
+      <motor tendon="t1" gear="1.5"/>
+    </actuator>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjwt.put_model(mjm)
+  m2 = io_mod.set_length_range(m)
+  jr = np.asarray(mjm.jnt_range[0])
+  tr = np.asarray(mjm.tendon_range[0])
+  exp = np.array([[jr[0] * 2, jr[1] * 2],
+                  [jr[1] * -3, jr[0] * -3],
+                  [tr[0] * 1.5, tr[1] * 1.5]])
+  np.testing.assert_allclose(np.asarray(m2.actuator_lengthrange), exp,
+                             rtol=1e-5)
+  # vmapped gear: per-world ranges come out per-world
+  gears = jnp.stack([m.actuator_gear, m.actuator_gear * 2.0])
+  mb = jax.vmap(lambda g: io_mod.set_length_range(
+      m.replace(actuator_gear=g)).actuator_lengthrange)(gears)
+  np.testing.assert_allclose(np.asarray(mb[1]), 2 * np.asarray(mb[0]),
+                             rtol=1e-5)
