@@ -23,10 +23,17 @@ import jax
 import jax.numpy as jnp
 
 from . import math
+from .types import DisableBit
 from .types import GeomType
 
 _MPR_ITERATIONS = 24
 _TOL = 1e-6
+
+# multi-contact re-portal tilt angle (radians). Small enough that the
+# depth/position error of a perturbed contact (~angle * lever arm) is
+# negligible, large enough that portal refinement on a tilted flat face
+# lands on a distinct corner of the contact patch.
+_MULTI_TILT = 1e-3
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +106,34 @@ _CENTER = {
         jnp.sum(v[:, :3] * (v[:, 3:] > 0), axis=0) /
         jnp.maximum(jnp.sum(v[:, 3] > 0), 1)),
 }
+
+
+# types whose contact patch can be a face (flat-on-flat needs a
+# manifold); sphere/ellipsoid contacts are always point-like
+_FLAT_CAPABLE = {GeomType.BOX, GeomType.MESH, GeomType.CYLINDER}
+_POINT_LIKE = {GeomType.SPHERE, GeomType.ELLIPSOID}
+
+
+def manifold_ncon(t1: int, t2: int, disableflags: int) -> int:
+  """Contact slots for an MPR-routed type pair: 5 when a multi-point
+  manifold is possible and MULTICCD is not disabled (MuJoCo >= 3.3:
+  multi-contact CCD is on by default, mjDSBL_MULTICCD turns it off),
+  else 1. Mirrors the reference's use_multiccd gating (reference
+  io.py:373-389) with the disable-bit semantics of our MuJoCo pin."""
+  if disableflags & DisableBit.MULTICCD:
+    return 1
+  t1, t2 = GeomType(t1), GeomType(t2)
+  if t1 in _POINT_LIKE or t2 in _POINT_LIKE:
+    return 1
+  if t1 in _FLAT_CAPABLE or t2 in _FLAT_CAPABLE:
+    return 5
+  return 1
+
+
+def collider(t1: int, t2: int, disableflags: int):
+  """(collider_fn, ncon slots) for an MPR-routed type pair."""
+  k = manifold_ncon(t1, t2, disableflags)
+  return (mpr_multi(t1, t2) if k > 1 else mpr(t1, t2)), k
 
 
 def mpr(t1: int, t2: int):
@@ -266,5 +301,103 @@ def mpr(t1: int, t2: int):
     dist = jnp.where(penetrating, margin - depth, 1e10)
     pos = 0.5 * (pa + pb) - 0.5 * margin * n
     return dist[None], pos[None], math.make_frame(normal)[None]
+
+  return collide
+
+
+def _axis_angle_mat(u, angle, dtype):
+  """Rotation matrix for angle about unit axis u (Rodrigues)."""
+  c = jnp.cos(angle)
+  s = jnp.sin(angle)
+  zero = jnp.zeros((), dtype)
+  ux = jnp.stack([
+      jnp.stack([zero, -u[2], u[1]]),
+      jnp.stack([u[2], zero, -u[0]]),
+      jnp.stack([-u[1], u[0], zero]),
+  ])
+  eye = jnp.eye(3, dtype=dtype)
+  return c * eye + s * ux + (1.0 - c) * jnp.outer(u, u)
+
+
+def mpr_multi(t1: int, t2: int):
+  """Multi-contact convex narrowphase: base MPR + four tangential
+  tilt re-portals, giving up to a 5-point manifold for flat-on-flat
+  (mesh/box/cylinder face) contact.
+
+  The reference implements this as explicit contact-face polygon
+  clipping (mujoco_warp/_src/collision_convex.py:706-1267, gated on
+  MULTICCD); polygon extraction + Sutherland-Hodgman clipping is
+  pointer-chasing over mesh topology and maps poorly onto fixed-shape
+  vector lanes. The TPU-native equivalent used here: tilt geom2 by
+  +/-_MULTI_TILT about the two contact tangent axes (rotating about the
+  base contact point) and re-run the same fixed-iteration portal
+  refinement. On a flat contact patch each tilt lands the deepest point
+  on a distinct edge/corner of the patch; on a smooth (curved) surface
+  the perturbed point moves only O(tilt * curvature radius) and is
+  rejected by the distinctness test, so sphere-like contacts still
+  yield one point. Perturbed positions/depths are mapped back to the
+  untilted configuration to first order (exact for the infinitesimal
+  limit; error O(tilt * patch radius) ~ 1e-4 of geom size, below
+  solref impedance scales)."""
+  base = mpr(t1, t2)
+
+  def collide(p1, m1, s1, p2, m2, s2, v1=None, v2=None, margin=0.0):
+    dtype = p1.dtype
+    dist0, pos0, frame0 = base(p1, m1, s1, p2, m2, s2, v1, v2, margin)
+    n = frame0[0, 0]
+    tangents = (frame0[0, 1], frame0[0, 2])
+    c0 = pos0[0]
+    base_hit = dist0[0] < 1e9
+
+    # distinctness tolerance: curved-surface drift is ~_MULTI_TILT * r;
+    # a flat patch moves the contact point a patch-radius. 10x over the
+    # curvature bound keeps spheres single-point while accepting any
+    # patch larger than ~1% of the geom scale.
+    def _scale(s, v):
+      r = jnp.max(jnp.abs(s))
+      if v is not None:
+        vn = math.norm(v[:, :3], axis=-1) * (v[:, 3] > 0)
+        r = jnp.maximum(r, jnp.max(vn))
+      return r
+    rmax = jnp.maximum(jnp.maximum(_scale(s1, v1), _scale(s2, v2)),
+                       jnp.asarray(1e-3, dtype))
+    tol = 10.0 * _MULTI_TILT * rmax
+
+    dists = [dist0[0]]
+    poss = [c0]
+    valids = [base_hit]
+    for axis_i, sign in ((0, 1.0), (0, -1.0), (1, 1.0), (1, -1.0)):
+      u = tangents[axis_i]
+      ang = jnp.asarray(sign * _MULTI_TILT, dtype)
+      rot = _axis_angle_mat(u, ang, dtype)
+      p2r = c0 + rot @ (p2 - c0)
+      m2r = rot @ m2
+      dk, pk, _ = base(p1, m1, s1, p2r, m2r, s2, v1, v2, margin)
+      dk = dk[0]
+      pk = pk[0]
+      hit = dk < 1e9
+      # first-order un-tilt: the geom1 witness never moved, the geom2
+      # witness moved by the full rotation; the midpoint by half
+      half = _axis_angle_mat(u, -0.5 * ang, dtype)
+      pk_true = c0 + half @ (pk - c0)
+      # gap along n opened by dot(displacement, n) at the contact point
+      dk_true = dk - ang * jnp.dot(jnp.cross(u, pk_true - c0), n)
+      # accept if tangentially distinct from every kept point
+      dp = pk_true - c0
+      dp_t = dp - n * jnp.dot(dp, n)
+      distinct = math.norm(dp_t) > tol
+      for j in range(1, len(poss)):
+        dj = pk_true - poss[j]
+        dj_t = dj - n * jnp.dot(dj, n)
+        distinct &= (~valids[j]) | (math.norm(dj_t) > tol)
+      ok = base_hit & hit & distinct
+      dists.append(jnp.where(ok, dk_true, jnp.asarray(1e10, dtype)))
+      poss.append(jnp.where(ok, pk_true, c0))
+      valids.append(ok)
+
+    dist = jnp.stack(dists)
+    pos = jnp.stack(poss)
+    frame = jnp.broadcast_to(frame0[0], (5, 3, 3))
+    return dist, pos, frame
 
   return collide

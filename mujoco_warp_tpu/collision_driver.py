@@ -271,7 +271,9 @@ def collision(m: Model, d: Data) -> Data:
     needs_verts = GeomType.MESH in (t1, t2)
     is_mpr = fn is None
     if is_mpr:
-      fn = collision_convex.mpr(t1, t2)  # generic convex fallback
+      # generic convex fallback; multi-contact manifold where flat-on-
+      # flat contact is possible (unless MULTICCD disabled)
+      fn, k = collision_convex.collider(t1, t2, int(m.opt.disableflags))
     needs_margin = is_mpr or (t1, t2) in collision_primitive.NEEDS_MARGIN
     margin_arr = params[4]
 

@@ -122,7 +122,7 @@ def _run_family(m, d, pack, t1, t2, g1j, g2j, pidj, valid, dtype,
   needs_verts = GeomType.MESH in (t1, t2)
   is_mpr = fn is None
   if is_mpr:
-    fn = collision_convex.mpr(t1, t2)
+    fn, kcon = collision_convex.collider(t1, t2, int(m.opt.disableflags))
   needs_margin = is_mpr or (t1, t2) in collision_primitive.NEEDS_MARGIN
   args = [d.geom_xpos[g1j], d.geom_xmat[g1j], m.geom_size[g1j],
           d.geom_xpos[g2j], d.geom_xmat[g2j], m.geom_size[g2j]]

@@ -401,7 +401,13 @@ def _collision_pairs(mjm: mujoco.MjModel):
   def _k(t1, t2):
     if t1 == types.GeomType.HFIELD:
       return 4  # collision_hfield._NCONH
-    return collision_primitive.MAX_CONTACTS.get((t1, t2), 1)
+    if (t1, t2) in collision_primitive.MAX_CONTACTS:
+      return collision_primitive.MAX_CONTACTS[(t1, t2)]
+    if types.GeomType.SDF in (t1, t2):
+      return int(mjm.opt.sdf_initpoints)
+    # MPR-routed convex pair: manifold slots depend on MULTICCD
+    return collision_convex.manifold_ncon(t1, t2,
+                                          int(mjm.opt.disableflags))
 
   ncand = sum(_k(t1, t2) * len(v) for t1, t2, v in pairs)
   return pairs, ncand

@@ -173,3 +173,97 @@ def test_separated_stack_sweep_no_contact():
     n = int(d.ncon)
     dists = np.asarray(d.contact.dist)[:n]
     assert np.all(dists > 0), (dx, dy, dists)
+
+
+# ---------------------------------------------------------------------------
+# Multi-contact manifolds (MULTICCD, on by default in MuJoCo >= 3.3).
+# The reference implements contact-face polygon clipping
+# (collision_convex.py:706-1267); ours is MPR + tangential tilt
+# re-portals (collision_convex.mpr_multi). Oracle: C nativeccd.
+# ---------------------------------------------------------------------------
+
+
+def test_multiccd_box_mesh_manifold():
+  """A mesh cube resting flat on a box face yields a >=4-point manifold
+  whose depths match C and whose points span the patch both ways."""
+  xml = _xml(CUBE_MESH, 'type="box" size="0.3 0.3 0.1" pos="0 0 0.1"',
+             'type="mesh" mesh="cube" mass="1"', '0 0 0.295', '0 0 0')
+  mjm, mjd, m, d = fixture(xml)
+  assert mjd.ncon == 4  # C produces the 4 face corners
+  d = mjwt.fwd_position(m, d)
+  n = int(d.ncon)
+  assert n >= 4, f'manifold too small: {n}'
+  dist = np.asarray(d.contact.dist)[:n]
+  pos = np.asarray(d.contact.pos)[:n]
+  np.testing.assert_allclose(dist, np.full(n, mjd.contact.dist[0]),
+                             atol=5e-4, err_msg='manifold depths')
+  # patch is 0.2 x 0.2: points must span most of it in both tangents
+  assert pos[:, 0].max() - pos[:, 0].min() > 0.1
+  assert pos[:, 1].max() - pos[:, 1].min() > 0.1
+  np.testing.assert_allclose(pos[:, 2], mjd.contact.pos[0, 2], atol=1e-3)
+
+
+def test_multiccd_cylinder_box_face():
+  """Cylinder standing end-on a box face: C gives a multi-point rim
+  manifold; ours must produce >= 3 spread contacts at matching depth."""
+  xml = _xml('', 'type="box" size="0.3 0.3 0.1" pos="0 0 0.1"',
+             'type="cylinder" size="0.08 0.05" mass="0.5"',
+             '0 0 0.248', '0 0 0')
+  mjm, mjd, m, d = fixture(xml)
+  assert mjd.ncon >= 3
+  d = mjwt.fwd_position(m, d)
+  n = int(d.ncon)
+  assert n >= 3, f'rim manifold too small: {n}'
+  dist = np.asarray(d.contact.dist)[:n]
+  pos = np.asarray(d.contact.pos)[:n]
+  np.testing.assert_allclose(dist, np.min(mjd.contact.dist), atol=1e-3)
+  assert pos[:, 0].max() - pos[:, 0].min() > 0.08
+  assert pos[:, 1].max() - pos[:, 1].min() > 0.08
+
+
+def test_multiccd_smooth_pair_single_contact():
+  """Sphere-on-mesh is point-like: the tilt re-portals must be rejected
+  by the distinctness test, leaving one contact like C."""
+  xml = _xml(CUBE_MESH, 'type="mesh" mesh="cube" mass="1" pos="0 0 0.1"',
+             'type="sphere" size="0.08"', '0 0 0.275', '0 0 0')
+  mjm, mjd, m, d = fixture(xml)
+  assert mjd.ncon == 1
+  d = mjwt.fwd_position(m, d)
+  assert int(d.ncon) == 1, f'expected 1 contact, got {int(d.ncon)}'
+
+
+def test_multiccd_disable_flag():
+  """<flag multiccd="disable"/> falls back to single-contact MPR."""
+  xml = f"""
+  <mujoco>
+    <option timestep="0.002"><flag multiccd="disable"/></option>
+    {CUBE_MESH}
+    <worldbody>
+      <body><geom type="box" size="0.3 0.3 0.1" pos="0 0 0.1"/></body>
+      <body pos="0 0 0.295"><freejoint/>
+        <geom type="mesh" mesh="cube" mass="1"/></body>
+    </worldbody>
+  </mujoco>
+  """
+  mjm, mjd, m, d = fixture(xml)
+  d = mjwt.fwd_position(m, d)
+  assert int(d.ncon) == 1
+
+
+@pytest.mark.slow
+def test_multiccd_resting_stack_stable():
+  """A mesh cube resting on a box face must not topple or creep over a
+  1000-step unroll (single-point manifolds can't resist face torque —
+  the regression this feature exists to prevent)."""
+  import jax
+  xml = _xml(CUBE_MESH, 'type="box" size="0.3 0.3 0.1" pos="0 0 0.1"',
+             'type="mesh" mesh="cube" mass="1"', '0 0 0.2999', '0 0 0')
+  mjm, mjd, m, d = fixture(xml)
+  step = jax.jit(lambda dd: mjwt.step(m, dd))
+  for _ in range(1000):
+    d = step(d)
+  q = np.asarray(d.qpos)
+  assert not np.any(np.isnan(q))
+  assert abs(q[0]) < 5e-3 and abs(q[1]) < 5e-3, f'crept: {q[:3]}'
+  assert abs(q[2] - 0.3) < 5e-3, f'sank/rose: {q[2]}'
+  assert q[3] > 0.9999, f'toppled: quat {q[3:7]}'
