@@ -575,6 +575,39 @@ def transmission(m: Model, d: Data) -> Data:
       row = gx0 @ jps + gpc @ jpc + (jnp.cross(a, ga)) @ jrs
       lengths.append(Lval * gear)
       moment = moment.at[u].set(gear * row)
+    elif trntype == TrnType.BODY:
+      # adhesion actuator (reference smooth.py:2260,2448-2601
+      # _transmission_body_moment): length = 0; moment = the AVERAGE
+      # contact-normal jacobian over contacts touching the body,
+      # negated (positive ctrl pulls the contact pair together). The
+      # reference reconstructs the normal row by summing pyramid efc
+      # rows (weights 0.5/npyramid — tangent terms cancel, leaving
+      # exactly the normal row) and falls back to a direct jacobian
+      # for in-gap contacts; the direct normal jacobian used here is
+      # algebraically identical for both cases.
+      from . import support  # local import to avoid cycle
+      lengths.append(jnp.zeros((), dtype))
+      b = int(m.actuator_trnid[u][0])
+      con = d.contact
+      if con.dist.shape[0]:
+        gb = jnp.asarray(m.geom_bodyid)
+        g1, g2 = con.geom[:, 0], con.geom[:, 1]
+        valid = (g1 >= 0) & (g2 >= 0)    # flex contacts excluded (ref)
+        b1 = jnp.where(valid, gb[jnp.maximum(g1, 0)], -1)
+        b2 = jnp.where(valid, gb[jnp.maximum(g2, 0)], -1)
+        relevant = valid & ((b1 == b) | (b2 == b))
+
+        def _normal_row(pos, bb1, bb2, normal):
+          jacp1, _ = support.jac_dyn(m, d, pos, bb1)
+          jacp2, _ = support.jac_dyn(m, d, pos, bb2)
+          return normal @ (jacp2 - jacp1)
+
+        jn = jax.vmap(_normal_row)(con.pos, jnp.maximum(b1, 0),
+                                   jnp.maximum(b2, 0), con.frame[:, 0])
+        ncon_u = jnp.sum(relevant.astype(dtype))
+        mom = -jnp.sum(jn * relevant[:, None].astype(dtype),
+                       axis=0) / jnp.maximum(ncon_u, 1.0)
+        moment = moment.at[u].set(mom)
     else:
       raise NotImplementedError(f'transmission type {trntype}')
   return d.replace(actuator_length=jnp.stack(lengths),

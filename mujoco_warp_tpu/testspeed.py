@@ -58,6 +58,43 @@ def _stage_times(m, batch, nrep=20):
   return out
 
 
+def _benchmark_function(m, batch, name: str, nrep: int):
+  """Benchmark ONE pipeline stage by name (reference testspeed
+  --function benchmarks any public mjwarp function). The batch is
+  warmed through a full forward first so the stage sees a realistic
+  regime (contacts active, efc rows populated)."""
+  import importlib
+  fwd = importlib.import_module(f'{__package__}.forward')
+
+  stages = fwd.batched_stages(m, batch)
+  names = [n for n, _ in stages]
+  if name not in names:
+    raise SystemExit(f'unknown stage {name!r}; choices: {names}')
+  b = batch
+  for n, fn in stages:         # warm forward: realistic input state
+    b = jax.jit(fn)(b)
+  fn = dict(stages)[name]
+  jitted = jax.jit(fn)
+  t0 = time.perf_counter()
+  res = jitted(b)
+  jax.block_until_ready(jax.tree_util.tree_leaves(res)[0])
+  jit_time = time.perf_counter() - t0
+  nrep = max(min(nrep, 1000), 10)
+  t0 = time.perf_counter()
+  for _ in range(nrep):
+    res = jitted(b)
+  jax.block_until_ready(jax.tree_util.tree_leaves(res)[0])
+  dt = (time.perf_counter() - t0) / nrep
+  return {
+      'function': name,
+      'nworld': int(batch.qpos.shape[0]),
+      'nrep': nrep,
+      'jit_time_s': round(jit_time, 2),
+      'time_us': round(dt * 1e6, 1),
+      'per_world_ns': round(dt * 1e9 / batch.qpos.shape[0], 2),
+  }
+
+
 def main(argv=None):
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument('mjcf')
@@ -69,11 +106,20 @@ def main(argv=None):
   p.add_argument('--event_trace', action='store_true')
   p.add_argument('--keyframe', type=int, default=None)
   p.add_argument('--ctrlnoise_std', type=float, default=0.01)
+  p.add_argument('--replay', default=None, metavar='PREFIX',
+                 help='replay keyframe ctrl sequence (name prefix match,'
+                      ' reference testspeed --replay)')
+  p.add_argument('--function', default='step', metavar='NAME',
+                 help='benchmark one pipeline stage by name instead of '
+                      'the full step (reference testspeed --function); '
+                      'stage names as printed by --event_trace, e.g. '
+                      'fwd_position, solve, smooth_mega[pallas]')
   args = p.parse_args(argv)
 
   import mujoco_warp_tpu as mjwt
   from mujoco_warp_tpu import parallel
   from mujoco_warp_tpu.utils.benchmark import benchmark
+  from mujoco_warp_tpu.utils.benchmark import benchmark_replay
 
   mjm = mujoco.MjModel.from_xml_path(args.mjcf)
   m = mjwt.put_model(mjm)
@@ -88,8 +134,25 @@ def main(argv=None):
   mesh = parallel.make_mesh()
   batch = parallel.shard_batch(batch, mesh)
 
-  metrics = benchmark(None, m, batch, nstep=args.nstep,
-                      ctrlnoise_std=args.ctrlnoise_std)
+  if args.function != 'step':
+    metrics = _benchmark_function(m, batch, args.function, args.nstep)
+    print(json.dumps(metrics) if args.output == 'json' else
+          '\n'.join(f'{k:28s} {v}' for k, v in metrics.items()))
+    return
+
+  if args.replay is not None:
+    from mujoco_warp_tpu import io as io_mod
+    keys = io_mod.find_keys(mjm, args.replay)
+    if not keys:
+      raise SystemExit(f'no keyframes match prefix {args.replay!r}')
+    traj = jnp.asarray(io_mod.make_trajectory(mjm, keys))
+    batch = batch.replace(qpos=jnp.broadcast_to(
+        jnp.asarray(mjm.key_qpos[keys[0]], batch.qpos.dtype),
+        batch.qpos.shape))
+    metrics = benchmark_replay(m, batch, traj, nstep=args.nstep)
+  else:
+    metrics = benchmark(None, m, batch, nstep=args.nstep,
+                        ctrlnoise_std=args.ctrlnoise_std)
   final = metrics.pop('final')
 
   # memory report (reference testspeed.py:101-141)

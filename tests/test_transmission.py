@@ -68,3 +68,50 @@ def test_site_transmission():
   d = mjwt.forward(m, d)
   assert_close(d.qfrc_actuator, mjd.qfrc_actuator, 'site qfrc', tol=1e-3)
   assert_close(d.qacc, mjd.qacc, 'site qacc', tol=1e-3)
+
+
+ADHESION = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="2 2 1"/>
+    <body name="pad" pos="0.02 0.01 0.098">
+      <freejoint/>
+      <geom type="box" size="0.1 0.1 0.1" mass="0.5"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <adhesion body="pad" ctrlrange="0 10" gain="30"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_adhesion_body_transmission():
+  """BODY (adhesion) transmission: moment = -average contact-normal
+  jacobian over the body's contacts (reference smooth.py:2448)."""
+  mjm, mjd, m, d = fixture(ADHESION)
+  assert mjd.ncon > 0
+  d = mjwt.forward(m, d)
+  assert_close(d.actuator_length, mjd.actuator_length, 'adh length')
+  moment = np.zeros((mjm.nu, mjm.nv))
+  mujoco.mju_sparse2dense(moment, mjd.actuator_moment, mjd.moment_rownnz,
+                          mjd.moment_rowadr, mjd.moment_colind)
+  assert_close(d.actuator_moment, moment, 'adh moment', tol=1e-4)
+
+
+def test_adhesion_holds_against_gravity():
+  """With ctrl on, the pad must stick to the floor end-to-end (C and
+  TPU agree on qacc)."""
+  import jax
+  mjm = mujoco.MjModel.from_xml_string(ADHESION)
+  mjd = mujoco.MjData(mjm)
+  mjd.ctrl[:] = 5.0
+  for _ in range(10):
+    mujoco.mj_step(mjm, mjd)
+  mujoco.mj_forward(mjm, mjd)
+  m = mjwt.put_model(mjm)
+  d = mjwt.put_data(mjm, mjd, m)
+  d = mjwt.forward(m, d)
+  assert_close(d.qfrc_actuator, mjd.qfrc_actuator, 'adh qfrc', tol=1e-3)
+  assert_close(d.qacc, mjd.qacc, 'adh qacc', tol=5e-3)
