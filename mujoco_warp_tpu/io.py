@@ -645,20 +645,27 @@ def _build_sdf_grids(mjm: mujoco.MjModel):
   return (np.stack(grids), np.stack(aabbs), grid_of_mesh)
 
 
-def _mesh_faces(mjm: mujoco.MjModel) -> np.ndarray:
-  """(nmesh, fmax, 3, 3) padded triangle vertices in geom frame, for
-  ray-mesh intersection (reference ray.py:188-700 ray_mesh role).
-  Padding triangles are degenerate (zeros) and never hit."""
+def _mesh_faces(mjm: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
+  """Morton-clustered padded triangles + per-cluster AABBs for every
+  mesh (bvh.py — the reference's mesh-BVH role, ref bvh.py:35,
+  ray.py:701-799). Returns (faces (nmesh, cmax*CLUSTER, 3, 3),
+  aabb (nmesh, cmax, 2, 3)). The flat face array doubles as the plain
+  ray_mesh sweep input (padding triangles are degenerate zeros and
+  never hit), so no second copy is stored."""
+  from . import bvh
   if mjm.nmesh == 0:
-    return np.zeros((0, 1, 3, 3), dtype=np.float32)
+    return (np.zeros((0, 1, 3, 3), dtype=np.float32),
+            np.zeros((0, 1, 2, 3), dtype=np.float32))
   fmax = max(1, int(mjm.mesh_facenum.max()))
-  out = np.zeros((mjm.nmesh, fmax, 3, 3), dtype=np.float32)
+  cmax = (fmax + bvh.CLUSTER - 1) // bvh.CLUSTER
+  out = np.zeros((mjm.nmesh, cmax * bvh.CLUSTER, 3, 3), dtype=np.float32)
+  aabb = np.empty((mjm.nmesh, cmax, 2, 3), dtype=np.float32)
   for i in range(mjm.nmesh):
-    vadr = int(mjm.mesh_vertadr[i])
     fadr, fnum = int(mjm.mesh_faceadr[i]), int(mjm.mesh_facenum[i])
-    faces = mjm.mesh_face[fadr:fadr + fnum]
-    out[i, :fnum] = mjm.mesh_vert[vadr + faces]
-  return out
+    faces = mjm.mesh_vert[mjm.mesh_vertadr[i] +
+                          mjm.mesh_face[fadr:fadr + fnum]]
+    out[i], aabb[i] = bvh.build_clusters(faces.astype(np.float32), cmax)
+  return out, aabb
 
 
 def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
@@ -678,6 +685,7 @@ def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
 def put_model(mjm: mujoco.MjModel) -> Model:
   _validate(mjm)
   _sdf_grids_cached = _build_sdf_grids(mjm)
+  _mesh_faces_cached = _mesh_faces(mjm)
   from . import flex as flex_mod
   flex_meta, flex_leaves = flex_mod.build(mjm)
   tactile_meta, tactile_leaves = _build_tactile(mjm)
@@ -970,7 +978,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       nmesh=mjm.nmesh,
       mesh_hullvert=_jp(_mesh_hulls(mjm)),
       mesh_hullvert_small=_jp(_decimate_hulls(_mesh_hulls(mjm))),
-      mesh_faces=_jp(_mesh_faces(mjm)),
+      mesh_faces=_jp(_mesh_faces_cached[0]),
+      mesh_cluster_aabb=_jp(_mesh_faces_cached[1]),
       sdf_grids=_jp(_sdf_grids_cached[0]),
       sdf_grid_aabb=_jp(_sdf_grids_cached[1]),
       sdf_grid_of_mesh=_tup(_sdf_grids_cached[2]),

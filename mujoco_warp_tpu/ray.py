@@ -284,7 +284,15 @@ def ray_geom(m: Model, d: Data, geomid: int, pnt: jax.Array,
   """t for one (static-id) geom."""
   gtype = GeomType(m.geom_type[geomid])
   if gtype == GeomType.MESH and m.geom_dataid[geomid] >= 0:
-    return ray_mesh(m.mesh_faces[m.geom_dataid[geomid]],
+    did = m.geom_dataid[geomid]
+    if m.mesh_cluster_aabb.shape[1] > 4:
+      # large mesh: cluster-marched exact query (bvh.py) — tests only
+      # the clusters a front-to-back BVH walk would
+      from . import bvh as bvh_mod
+      return bvh_mod.ray_mesh_clustered(
+          m.mesh_faces[did], m.mesh_cluster_aabb[did],
+          d.geom_xpos[geomid], d.geom_xmat[geomid], pnt, vec)
+    return ray_mesh(m.mesh_faces[did],
                     d.geom_xpos[geomid], d.geom_xmat[geomid], pnt, vec)
   if gtype == GeomType.HFIELD and m.geom_dataid[geomid] >= 0:
     return ray_hfield(m, m.geom_dataid[geomid], d.geom_xpos[geomid],

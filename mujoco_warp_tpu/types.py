@@ -594,6 +594,9 @@ class Model:
   mesh_hullvert: jax.Array
   mesh_hullvert_small: jax.Array
   mesh_faces: jax.Array
+  # (nmesh, cmax, 2, 3) per-cluster AABBs of the Morton-clustered face
+  # array (bvh.py — the mesh-BVH role, TPU formulation)
+  mesh_cluster_aabb: jax.Array
   sdf_grids: jax.Array
   sdf_grid_aabb: jax.Array
   # (nhfield, max_nrow, max_ncol) normalized heights + (nhfield, 4) size
