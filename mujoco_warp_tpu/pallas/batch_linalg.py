@@ -37,13 +37,13 @@ def _cholesky_solve_body_values(nv: int, a_ref, b_ref, x_ref, l_ref):
   read-after-write serialization against the output ref)."""
   cols = []
   for j in range(nv):
-    s = a_ref[:, j, :]
-    for k in range(j):
+    s = a_ref[j]          # A is symmetric: row j == column j, and the
+    for k in range(j):    # leading-dim read is contiguous in Mosaic
       s = s - cols[k] * cols[k][j][None, :]
     inv = jax.lax.rsqrt(jnp.maximum(s[j], 1e-15))[None, :]
     col = s * inv
     cols.append(col)
-    l_ref[:, j, :] = col
+    l_ref[j] = col        # TRANSPOSED storage (row j = column j of L)
   ys = []
   for j in range(nv):
     yj = b_ref[j, :]
@@ -67,25 +67,36 @@ def _cholesky_solve_body(nv: int, a_ref, b_ref, x_ref, l_ref):
   Mosaic's stack exceed scoped vmem beyond nv~40."""
   if nv <= _VALUES_MAX:
     return _cholesky_solve_body_values(nv, a_ref, b_ref, x_ref, l_ref)
-  # Cholesky, column by column
+  # Cholesky, column by column, stored TRANSPOSED (column j of L lives
+  # in l_ref row j): every read below is a contiguous leading-dim slice
+  # — strided middle-dim l_ref[:, k, :] reads measured ~100x slower in
+  # Mosaic (tools/pallas_lint.py PL004). Callers needing standard L
+  # transpose once at the XLA level.
   for j in range(nv):
-    s = a_ref[:, j, :]
+    s = a_ref[j]          # A symmetric: row j == column j, contiguous
     for k in range(j):
-      s = s - l_ref[:, k, :] * l_ref[j, k, :][None, :]
+      colk = l_ref[k]
+      s = s - colk * colk[j][None, :]
     inv = jax.lax.rsqrt(jnp.maximum(s[j], 1e-15))[None, :]
-    l_ref[:, j, :] = s * inv
-  # forward substitution L y = b (y staged in x_ref)
-  for j in range(nv):
-    yj = b_ref[j, :]
-    for k in range(j):
-      yj = yj - l_ref[j, k, :] * x_ref[k, :]
-    x_ref[j, :] = yj / l_ref[j, j, :]
-  # backward substitution L^T x = y, in place
+    l_ref[j] = s * inv
+  # forward substitution L y = b, column-oriented saxpy (y as values)
+  ys = [b_ref[j, :] for j in range(nv)]
+  for k in range(nv):
+    colk = l_ref[k]
+    yk = ys[k] / colk[k]
+    ys[k] = yk
+    for i in range(k + 1, nv):
+      ys[i] = ys[i] - colk[i] * yk
+  # backward substitution L^T x = y: row j of L^T is l_ref[j]
+  xs = [None] * nv
   for j in range(nv - 1, -1, -1):
-    xj = x_ref[j, :]
+    colj = l_ref[j]
+    xj = ys[j]
     for k in range(j + 1, nv):
-      xj = xj - l_ref[k, j, :] * x_ref[k, :]
-    x_ref[j, :] = xj / l_ref[j, j, :]
+      xj = xj - colj[k] * xs[k]
+    xs[j] = xj / colj[j]
+  for j in range(nv):
+    x_ref[j, :] = xs[j]
 
 
 @functools.partial(jax.jit, static_argnames=('return_factor',))
@@ -132,21 +143,33 @@ def spd_solve_batched(a: jax.Array, b: jax.Array,
   )(at, bt)
   x = jnp.moveaxis(x[:, :w], -1, 0)
   if return_factor:
-    return x, jnp.moveaxis(l[:, :, :w], -1, 0)
+    # kernel stores L transposed (contiguous-read layout); hand callers
+    # the standard lower factor
+    return x, jnp.moveaxis(l[:, :, :w], -1, 0).swapaxes(-1, -2)
   return x
 
 
 def _solve_from_factor_body(nv: int, l_ref, b_ref, x_ref):
+  """Standard lower L input; contiguous row reads only (one l_ref[j]
+  per row) with values-staged saxpy substitutions."""
+  # forward L y = b: row-oriented
+  ys = []
   for j in range(nv):
+    rowj = l_ref[j]                       # (nv, L) contiguous
     yj = b_ref[j, :]
     for k in range(j):
-      yj = yj - l_ref[j, k, :] * x_ref[k, :]
-    x_ref[j, :] = yj / l_ref[j, j, :]
-  for j in range(nv - 1, -1, -1):
-    xj = x_ref[j, :]
-    for k in range(j + 1, nv):
-      xj = xj - l_ref[k, j, :] * x_ref[k, :]
-    x_ref[j, :] = xj / l_ref[j, j, :]
+      yj = yj - rowj[k] * ys[k]
+    ys.append(yj / rowj[j])
+  # backward L^T x = y: saxpy with row k of L
+  xs = [None] * nv
+  for k in range(nv - 1, -1, -1):
+    rowk = l_ref[k]
+    xk = ys[k] / rowk[k]
+    xs[k] = xk
+    for i in range(k):
+      ys[i] = ys[i] - rowk[i] * xk
+  for j in range(nv):
+    x_ref[j, :] = xs[j]
 
 
 @jax.jit

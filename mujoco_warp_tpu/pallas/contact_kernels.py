@@ -1212,9 +1212,13 @@ def make_contact_kernel(m: Model, nconmax: int):
       efcid_out[li] = jnp.full((L,), jid, jnp.int32)
       efcact_out[li] = active[0].astype(jnp.int32)
 
-    # cdof split views (contiguous copies once)
-    CDang = [cdof_ref[:, i, :] for i in range(3)]       # 3 x (nv, L)
-    CDlin = [cdof_ref[:, 3 + i, :] for i in range(3)]
+    # cdof/pos/frame split views, hoisted OUT of the K-slot loop: these
+    # strided middle-dim reads happen once here instead of per slot
+    # (tools/pallas_lint.py PL004)
+    CDang = [cdof_ref[:, i, :] for i in range(3)]  # pallas-lint: ok(once)
+    CDlin = [cdof_ref[:, 3 + i, :] for i in range(3)]  # pallas-lint: ok(once)
+    POSv = [pos_scr[:, i, :] for i in range(3)]  # pallas-lint: ok(once)
+    FRv = [frame_scr[:, i, :] for i in range(9)]  # pallas-lint: ok(once)
 
     ncon = jnp.zeros((1, L), dt)
     ranks = key_scr[...]                                 # (ncand, L)
@@ -1236,9 +1240,9 @@ def make_contact_kernel(m: Model, nconmax: int):
       # dynamic payload via masked reductions
       dist_s = jnp.sum(onehot * dist_scr[...], axis=0, keepdims=True)
       pos_s = jnp.concatenate([
-          jnp.sum(onehot * pos_scr[:, i, :], axis=0, keepdims=True)
+          jnp.sum(onehot * POSv[i], axis=0, keepdims=True)
           for i in range(3)], axis=0)
-      fr_s = [jnp.sum(onehot * frame_scr[:, i, :], axis=0, keepdims=True)
+      fr_s = [jnp.sum(onehot * FRv[i], axis=0, keepdims=True)
               for i in range(9)]
 
       # com of each side's root (grouped by distinct static root ids)

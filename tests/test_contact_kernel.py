@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # interpret-mode/long-horizon: excluded from -m 'not slow'
+
 TPU = jax.default_backend() == 'tpu'
 
 

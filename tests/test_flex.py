@@ -178,6 +178,7 @@ def test_flex_contact_efc():
                              atol=1e-4, err_msg='qacc')
 
 
+@pytest.mark.slow
 def test_flex_contact_trajectory():
   """Ball resting on a cloth on the floor stays finite and tracks C."""
   mjm = mujoco.MjModel.from_xml_string(BALL_CLOTH)
@@ -193,6 +194,7 @@ def test_flex_contact_trajectory():
   assert err < 2e-2, f'qpos drift {err}'
 
 
+@pytest.mark.slow
 def test_flex_step_trajectory():
   """Full steps (passive + equality, no contacts) track C MuJoCo."""
   mjm, mjd, m, d = _flex_fixture(CLOTH_GRID, qvel_noise=0.0)

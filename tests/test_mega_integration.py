@@ -18,6 +18,8 @@ import mujoco
 
 from fixtures import HOPPER
 
+pytestmark = pytest.mark.slow  # interpret-mode/long-horizon: excluded from -m 'not slow'
+
 
 @pytest.fixture
 def force_mega(monkeypatch):

@@ -38,6 +38,7 @@ def _contacts(m, d):
                  tuple(np.round(pos[i], 4))) for i in range(ncon))
 
 
+@pytest.mark.slow
 def test_sap_matches_nxn():
   """Forcing the pair-array driver on a settled pile produces the
   identical contact set to the static NXN driver."""

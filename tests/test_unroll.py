@@ -13,6 +13,10 @@ from mujoco_warp_tpu import models
 from fixtures import HOPPER, fixture
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode/long-horizon: excluded from -m 'not slow'
+
 def test_arm_reaches_and_pushes_cube():
   """Position-controlled arm sweeps; the cube must be displaced in both
   engines by a comparable amount (coarse task outcome)."""
