@@ -217,7 +217,9 @@ def make_constraint(m: Model, d: Data) -> Data:
       fx = m.flex_meta
       f = m.eq_obj1id[i]
       ea, en = fx.edgeadr[f], fx.edgenum[f]
-      edge_np = np.asarray(jax.device_get(m.flex_edge))[ea:ea + en]
+      # static topology from flex_meta (numpy) — the m.flex_edge leaf is
+      # a tracer inside jit(step) and must not be read here
+      edge_np = np.asarray(fx.edge, np.int32).reshape(fx.nedge, 2)[ea:ea + en]
       dofadr = np.asarray(fx.vert_dofadr)
       vert = d.flexvert_xpos
       x0 = vert[edge_np[:, 0]]

@@ -73,6 +73,12 @@ class FlexMeta(NamedTuple):
   # filtered contact candidates (contype/conaffinity applied at build):
   plane_pairs: Tuple[Tuple[int, int, int], ...] = ()  # (geom, gvert, flex)
   tri_pairs: Tuple[Tuple[int, int, int, int], ...] = ()  # (gtype, geom, tri, flex)
+  # static edge topology (numpy mirrors of the Model.flex_edge* leaves,
+  # for use INSIDE jit traces — reading the traced leaves there crashes)
+  edge: Tuple[Tuple[int, int], ...] = ()              # (nfe, 2) global ids
+  edgeflap: Tuple[Tuple[int, int], ...] = ()          # (nfe, 2), -1 = none
+  elem_enda: Tuple[Tuple[int, ...], ...] = ()         # (nel, maxe) verts
+  elem_endb: Tuple[Tuple[int, ...], ...] = ()         # (nel, maxe) verts
 
 
 def validate(mjm) -> None:
@@ -238,6 +244,10 @@ def build(mjm) -> tuple:
       solimp=tuple(tuple(float(y) for y in x) for x in mjm.flex_solimp),
       margin=tuple(float(x) for x in mjm.flex_margin),
       gap=tuple(float(x) for x in mjm.flex_gap),
+      edge=tuple((int(a), int(b)) for a, b in edge),
+      edgeflap=tuple((int(a), int(b)) for a, b in flap),
+      elem_enda=tuple(tuple(int(x) for x in row) for row in elem_enda),
+      elem_endb=tuple(tuple(int(x) for x in row) for row in elem_endb),
       tri=tuple(tri), tri_flexid=tuple(tri_flexid),
       plane_pairs=tuple(plane_pairs), tri_pairs=tuple(tri_pairs),
   )
@@ -356,7 +366,10 @@ def elasticity(m: Model, d: Data) -> jax.Array:
   metric = metric * jnp.asarray(evalid[:, :, None] & evalid[:, None, :], dt)
 
   coef = jnp.einsum('ekl,ek->el', metric, elong)     # (nel, maxe)
-  A, B = m.flex_elem_enda, m.flex_elem_endb          # (nel, maxe) verts
+  # static endpoint tables from flex_meta — the Model leaves are tracers
+  # inside jit(step) and _accumulate needs concrete indices
+  A = np.asarray(fx.elem_enda, np.int32).reshape(fx.nelem, maxe)
+  B = np.asarray(fx.elem_endb, np.int32).reshape(fx.nelem, maxe)
   xa = d.flexvert_xpos[A]
   xb = d.flexvert_xpos[B]
   fedge = -coef[..., None] * (xa - xb)               # force on endpoint A
@@ -371,8 +384,8 @@ def bending(m: Model, d: Data) -> jax.Array:
   bending; verified numerically vs mjd.qfrc_passive)."""
   fx = m.flex_meta
   dt = d.qpos.dtype
-  flap = np.asarray(jax.device_get(m.flex_edgeflap))
-  edge = np.asarray(jax.device_get(m.flex_edge))
+  flap = np.asarray(fx.edgeflap, np.int32).reshape(fx.nedge, 2)
+  edge = np.asarray(fx.edge, np.int32).reshape(fx.nedge, 2)
   # rows with a full quad and a dim-2 flex; per-edge damping coef
   dim_of = np.zeros((fx.nedge,), np.int32)
   damp_of = np.zeros((fx.nedge,), np.float32)
