@@ -454,11 +454,117 @@ def _mega_gates(m: Model):
   return use_mega, force and not on_tpu
 
 
-def batched_stages(m: Model, d: Data) -> list:
+def _glue_gates(m: Model, d: Data) -> bool:
+  """True when step_batched runs the fully-folded back half: actuation +
+  passive + qfrc_smooth + Newton solve + Euler advance in ONE Pallas
+  kernel (pallas/solver_kernels._glue_kernel). MJWT_GLUE=0 falls back."""
+  import os as _os
+  if _os.environ.get('MJWT_GLUE', '1') == '0':
+    return False
+  if not (_mega_gates(m)[0] and solver_mod.uses_fused_kernel(m, d)):
+    return False
+  from .pallas import solver_kernels
+  return solver_kernels.glue_supported(m)
+
+
+def _glue_stages(m: Model, d: Data) -> list:
+  """Stage list for the glue-folded STEP (integration included).
+  Ordering: acc-stage sensors read only solver outputs (qacc, cacc,
+  actuator_force, efc_force — never qpos/qvel), so the in-kernel advance
+  can land before sensor_acc; models with rne_postconstraint sensors
+  (which read qvel) keep the XLA advance after sensor_acc instead."""
+  import numpy as np
+  vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
+  use_mega, interp = _mega_gates(m)
+  assert use_mega
+  stages = []
+  add = lambda name, fn: stages.append((name, fn))
+  add('smooth_mega[pallas]',
+      lambda dd: _smooth_mega_batched(m, dd, interpret=interp))
+  if m.ncam or m.nlight:
+    add('camlight', vm(smooth.camlight))
+  from .pallas import contact_kernels
+  nconmax = d.contact.dist.shape[-1]
+  if (m.opt.run_collision_detection and nconmax > 0 and
+      contact_kernels.supports(m, d)):
+    kernel, meta = contact_kernels.make_contact_kernel(m, nconmax)
+    add('contact_efc_mega[pallas]',
+        lambda dd: contact_kernels.contact_efc(m, dd, kernel, meta,
+                                               interpret=interp))
+  else:
+    if m.opt.run_collision_detection:
+      add('collision', vm(collision_driver.collision))
+    add('make_constraint', vm(constraint.make_constraint))
+
+  if m.nu:
+    # actuator length/velocity via static joint gathers (Data parity +
+    # actuatorpos/vel sensors); moment is constant for scalar-joint
+    # transmission and prefilled by make_data
+    jids = np.asarray([m.actuator_trnid[u][0] for u in range(m.nu)])
+    qadr = np.asarray(m.jnt_qposadr)[jids]
+    dadr = np.asarray(m.jnt_dofadr)[jids]
+
+    def act_len_vel(dd):
+      gear0 = m.actuator_gear[:, 0][None]
+      return dd.replace(actuator_length=dd.qpos[:, qadr] * gear0,
+                        actuator_velocity=dd.qvel[:, dadr] * gear0)
+    add('act_len_vel', act_len_vel)
+  add('sensor_pos', vm(sensor_mod.sensor_pos))
+  add('sensor_vel', vm(sensor_mod.sensor_vel))
+
+  needs_preadv = bool(m.nsensor) and any(
+      m.sensor_type[s] in sensor_mod._RNE_POST_SENSORS
+      for s in range(m.nsensor))
+
+  if m.opt.integrator == IntegratorType.IMPLICITFAST:
+    mode = 2
+  elif (m.has_damping and
+        not (m.opt.disableflags & DisableBit.EULERDAMP)):
+    mode = 1
+  else:
+    mode = 0
+
+  def solve_glue(dd):
+    from . import io as io_mod
+    from .pallas import solver_kernels
+    nconmax_l = dd.contact.dist.shape[-1]
+    ne, nf, _, _, njmax_l = io_mod.efc_layout(m, nconmax_l)
+    use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
+    run = solver_kernels.make_glue_kernel(m, njmax_l, ne, nf, use_ws,
+                                          mode)
+    qfx = jax.vmap(lambda x: (x.qfrc_applied + support.xfrc_accumulate(
+        m, x) - x.qfrc_bias))(dd)
+    outs = run(dd.qM, dd.efc_J, dd.efc_D, dd.efc_aref,
+               dd.efc_frictionloss, dd.qpos, dd.qvel, dd.ctrl, qfx,
+               dd.qacc_warmstart, m.opt.tolerance, m.stat.meaninertia,
+               m.opt.timestep)
+    qpos_new, qvel_new = outs.pop('qpos'), outs.pop('qvel')
+    dd = dd.replace(**outs)
+    if not needs_preadv:
+      dd = dd.replace(qpos=qpos_new, qvel=qvel_new,
+                      time=dd.time + m.opt.timestep,
+                      qacc_warmstart=dd.qacc)
+    return dd
+  add('solve_glue[pallas]', solve_glue)
+  add('sensor_acc', vm(sensor_mod.sensor_acc))
+  if needs_preadv:
+    # rne_postconstraint sensors read pre-advance qvel, so integration
+    # applies after sensor_acc; qacc_euler already holds the kernel's
+    # integration-diagonal solve for BOTH euler and implicitfast
+    add('advance', lambda dd: jax.vmap(
+        lambda x: _advance(m, x, x.act_dot, x.qacc_euler))(dd))
+  return stages
+
+
+def batched_stages(m: Model, d: Data, for_step: bool = False) -> list:
   """[(name, fn)] for the EXACT stage sequence forward_batched executes
   for this (m, d) — dispatch decisions (mega gates, fused solver)
   resolved. forward_batched folds this list; testspeed --event_trace
-  times the same list, so the trace describes the real hot path."""
+  times the same list, so the trace describes the real hot path.
+  for_step=True returns the STEP sequence: when the glue fold applies,
+  integration is inside solve_glue and no separate integrator runs."""
+  if for_step and _glue_gates(m, d):
+    return _glue_stages(m, d)
   vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
   # size guard: Mosaic compile time for the statically-unrolled smooth
   # kernel grows superlinearly with the tree size — a 3-humanoid scene
@@ -522,11 +628,7 @@ def batched_stages(m: Model, d: Data) -> list:
 _PATH_LOGGED: set = set()
 
 
-def forward_batched(m: Model, d: Data) -> Data:
-  """forward() over a leading world axis: the smooth pipeline runs as
-  one Pallas megakernel on TPU; collision/constraint/solver stay at XLA
-  level; linear solves batch to one Pallas kernel each."""
-  stages = batched_stages(m, d)
+def _fold_stages(stages: list, d: Data) -> Data:
   names = tuple(n for n, _ in stages)
   if names not in _PATH_LOGGED:
     # one line per distinct stage sequence so users can see whether
@@ -539,6 +641,13 @@ def forward_batched(m: Model, d: Data) -> Data:
   for _, fn in stages:
     d = fn(d)
   return d
+
+
+def forward_batched(m: Model, d: Data) -> Data:
+  """forward() over a leading world axis: the smooth pipeline runs as
+  one Pallas megakernel on TPU; collision/constraint/solver stay at XLA
+  level; linear solves batch to one Pallas kernel each."""
+  return _fold_stages(batched_stages(m, d), d)
 
 
 @named('euler')
@@ -600,6 +709,9 @@ def _rk4_batched(m: Model, d: Data) -> Data:
 @named('step')
 def step_batched(m: Model, d: Data) -> Data:
   """Batched step: the perf path. d carries a leading world axis."""
+  if _glue_gates(m, d):
+    # fully-folded back half: integration happens inside solve_glue
+    return _fold_stages(batched_stages(m, d, for_step=True), d)
   d = forward_batched(m, d)
   if m.opt.integrator == IntegratorType.EULER:
     return _euler_batched(m, d)

@@ -1120,6 +1120,36 @@ def efc_layout(m: Model, nconmax: int):
   return ne, nf, nl, stride, njmax
 
 
+def _moment0(m: Model) -> jax.Array:
+  """Initial actuator_moment. For scalar-joint transmission the moment
+  matrix is CONSTANT (one-hot x gear), so make_data prefils it and the
+  glue-folded step (forward._glue_stages) never rewrites the (nu, nv)
+  field — an 18 MB/step HBM write saved at 8192 worlds. All other
+  transmissions get zeros and smooth.transmission fills them per step."""
+  from .types import JointType, TrnType
+  nu, nv = m.nu, m.nv
+  if nu == 0:
+    return jnp.zeros((nu, nv), jnp.float32)
+  simple = all(
+      m.actuator_trntype[u] == TrnType.JOINT and
+      m.jnt_type[m.actuator_trnid[u][0]] in (JointType.SLIDE,
+                                             JointType.HINGE)
+      for u in range(nu))
+  if not simple:
+    return jnp.zeros((nu, nv), jnp.float32)
+  try:
+    gear = np.asarray(jax.device_get(m.actuator_gear))
+  except Exception:  # traced/batched Model leaf: fall back to zeros
+    return jnp.zeros((nu, nv), jnp.float32)
+  if gear.ndim != 2:
+    return jnp.zeros((nu, nv), jnp.float32)
+  gear0 = gear[:, 0]
+  moment = np.zeros((nu, nv), np.float32)
+  for u in range(nu):
+    moment[u, int(m.jnt_dofadr[m.actuator_trnid[u][0]])] = gear0[u]
+  return jnp.asarray(moment)
+
+
 def make_data(m: Model, nconmax: int | None = None,
               njmax: int | None = None) -> Data:
   """Allocate a single-world Data at qpos0 (vmap this and put_model's output
@@ -1184,7 +1214,7 @@ def make_data(m: Model, nconmax: int | None = None,
       cacc=z(nbody, 6), cfrc_int=z(nbody, 6), cfrc_ext=z(nbody, 6),
       subtree_linvel=z(nbody, 3), subtree_angmom=z(nbody, 3),
       qM=z(nv, nv), qLD=z(nv, nv),
-      actuator_length=z(nu), actuator_moment=z(nu, nv),
+      actuator_length=z(nu), actuator_moment=_moment0(m),
       actuator_velocity=z(nu), actuator_force=z(nu), act_dot=z(na),
       ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
       ten_velocity=z(m.ntendon),

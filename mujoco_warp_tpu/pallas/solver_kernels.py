@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .smooth_kernels import _qmul, _qnormalize
+
 LANES = 128
 _MINVAL = 1e-15
 
@@ -68,11 +70,25 @@ def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
                    niter_ref, qaccs_ref, qld_ref, qacce_ref, h_scr,
                    jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
                    done_scr):
+  _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+               qfs_ref[...], ws_ref[...], hb_ref[...], qacc_ref, qfc_ref,
+               force_ref, niter_ref, qaccs_ref, qld_ref, qacce_ref,
+               h_scr, jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
+               done_scr)
+
+
+def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+                 qfs, ws, hb, qacc_ref, qfc_ref, force_ref,
+                 niter_ref, qaccs_ref, qld_ref, qacce_ref, h_scr,
+                 jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
+                 done_scr):
   """J layout is (nv, nj, L): every hot read — J rows, qM rows, H rows —
   is a contiguous leading-dim slice. Strided middle-dim indexing and
-  per-element writes measured ~100x slower in Mosaic."""
+  per-element writes measured ~100x slower in Mosaic. `qfs` (qfrc_smooth)
+  and `ws` (warmstart qacc) come in as VALUES so the glue kernel can
+  assemble qfrc_smooth in its preamble."""
   (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp) = cfg
-  L = qfs_ref.shape[-1]
+  L = qfs.shape[-1]
   dt = jnp.float32
 
   tol = p_ref[0, 0]
@@ -90,7 +106,6 @@ def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   D = d_ref[...]
   fl = fl_ref[...]
   rf = fl / jnp.maximum(D, _MINVAL)
-  qfs = qfs_ref[...]
 
   def matvec_qm(x):
     rows = [jnp.sum(qm_ref[i] * x, axis=0, keepdims=True)
@@ -194,7 +209,7 @@ def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     return jnp.where(p1_0 >= 0, 0.0, alpha)
 
   # ---- init (reference solver.py:3257) ----
-  qacc = ws_ref[...] if use_ws else qacc_smooth
+  qacc = ws if use_ws else qacc_smooth
   ma = matvec_qm(qacc)
   jaref = matvec_j(qacc) - aref_ref[...]
   force, cost_c, quad = update_constraint(jaref)
@@ -267,7 +282,7 @@ def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
       parts = []
       if i > 0:
         parts.append(row[:i])
-      parts.append(row[i:i + 1] + hb_ref[i, 0])
+      parts.append(row[i:i + 1] + hb[i:i + 1])
       if i < nv - 1:
         parts.append(row[i + 1:])
       return jnp.concatenate(parts, axis=0)
@@ -350,3 +365,411 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
   qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = outs
   return (t2(qacc), t2(qfc), t2(force), t2(niter)[:, 0], t2(qacc_smooth),
           t2(qld), t2(qacc_euler))
+
+
+# ---------------------------------------------------------------------------
+# Glue-folded step back half: actuation + passive + qfrc_smooth assembly
+# + Newton solve + semi-implicit Euler advance in ONE kernel.
+#
+# The XLA glue between the three megakernels (transmission, passive,
+# fwd_actuation, fwd_acceleration's force sum, euler/_advance) costs
+# ~25-30 small fusions per step at ~17us dispatch each plus full-Data
+# HBM round trips — ~1-1.5 ms of the 4.4 ms humanoid@8192 step. All of
+# it is (n<=nv, L) lane math on values the solver kernel already holds,
+# so it folds in at near-zero cost (reference equivalents:
+# forward.py:837 fwd_actuation, passive.py:71, forward.py:950
+# fwd_acceleration, forward.py:213 _advance).
+# ---------------------------------------------------------------------------
+
+_BIG = 1e30
+
+
+def _np_leaf(x):
+  return np.asarray(jax.device_get(x))
+
+
+def glue_supported(m) -> bool:
+  """Static model-feature check for the folded back half: stateless
+  affine actuators on scalar joints, scalar springs + dof dampers only,
+  Euler integrator. Anything richer uses the XLA glue stages."""
+  from ..types import (BiasType, DisableBit, DynType, GainType,
+                       IntegratorType, JointType, TrnType)
+  if m.opt.integrator not in (IntegratorType.EULER,
+                              IntegratorType.IMPLICITFAST):
+    return False
+  if m.na or m.ntendon or m.flex_meta.nflex:
+    return False
+  if m.ngravcomp or m.fluid_active:
+    return False
+  for u in range(m.nu):
+    if m.actuator_trntype[u] != TrnType.JOINT:
+      return False
+    if m.jnt_type[m.actuator_trnid[u][0]] not in (JointType.SLIDE,
+                                                  JointType.HINGE):
+      return False
+    if m.actuator_gaintype[u] not in (GainType.FIXED, GainType.AFFINE):
+      return False
+    if m.actuator_biastype[u] not in (BiasType.NONE, BiasType.AFFINE):
+      return False
+    if m.actuator_dyntype[u] != DynType.NONE:
+      return False
+  # batched ("*"-leading) or traced Model leaves can't bake into the
+  # kernel's static tables — fall back to the XLA glue stages
+  try:
+    if np.asarray(jax.device_get(m.actuator_gear)).ndim not in (1, 2):
+      return False
+    if np.asarray(jax.device_get(m.dof_damping)).ndim > 1:
+      return False
+  except Exception:
+    return False
+  # springs on free/ball joints need quaternion differences — XLA path
+  stiff = _np_leaf(m.jnt_stiffness)
+  for j in range(m.njnt):
+    if stiff[j] != 0.0 and m.jnt_type[j] not in (JointType.SLIDE,
+                                                 JointType.HINGE):
+      return False
+  del DisableBit
+  return True
+
+
+def _glue_static(m):
+  """Numpy-only static tables for the glue preamble/tail (the factory
+  runs inside jit traces where jnp ops stage out — round-2 lesson)."""
+  from ..types import DisableBit, JointType
+  nu, nv, nq = m.nu, m.nv, m.nq
+  dis = int(m.opt.disableflags)
+  actuation_on = not (dis & DisableBit.ACTUATION) and nu > 0
+  clampctrl = not (dis & DisableBit.CLAMPCTRL)
+  spring_on = not (dis & DisableBit.SPRING)
+  damper_on = not (dis & DisableBit.DAMPER)
+
+  gear = _np_leaf(m.actuator_gear)[:, 0] if nu else np.zeros((0,))
+  jids = [int(m.actuator_trnid[u][0]) for u in range(nu)]
+  act_qadr = tuple(int(m.jnt_qposadr[j]) for j in jids)
+  act_dadr = tuple(int(m.jnt_dofadr[j]) for j in jids)
+
+  ctrlrange = _np_leaf(m.actuator_ctrlrange) if nu else np.zeros((0, 2))
+  climited = _np_leaf(m.actuator_ctrllimited).astype(bool) if nu else []
+  ctrl_lo = np.where(clampctrl & np.asarray(climited, bool),
+                     ctrlrange[:, 0], -_BIG) if nu else np.zeros((0,))
+  ctrl_hi = np.where(clampctrl & np.asarray(climited, bool),
+                     ctrlrange[:, 1], _BIG) if nu else np.zeros((0,))
+
+  from ..types import BiasType, GainType
+  gp = _np_leaf(m.actuator_gainprm) if nu else np.zeros((0, 3))
+  bp = _np_leaf(m.actuator_biasprm) if nu else np.zeros((0, 3))
+  gts = np.asarray([int(t) for t in m.actuator_gaintype], np.int64)
+  bts = np.asarray([int(t) for t in m.actuator_biastype], np.int64)
+  gain3 = np.where((gts == GainType.AFFINE)[:, None], gp[:, :3],
+                   np.concatenate([gp[:, :1],
+                                   np.zeros((nu, 2))], axis=1)) if nu else gp
+  bias3 = np.where((bts == BiasType.AFFINE)[:, None], bp[:, :3],
+                   0.0) if nu else bp
+  frange = _np_leaf(m.actuator_forcerange) if nu else np.zeros((0, 2))
+  flim = _np_leaf(m.actuator_forcelimited).astype(bool) if nu else []
+  frc_lo = np.where(flim, frange[:, 0], -_BIG) if nu else np.zeros((0,))
+  frc_hi = np.where(flim, frange[:, 1], _BIG) if nu else np.zeros((0,))
+
+  # per-dof tables
+  damping = (_np_leaf(m.dof_damping) if damper_on else np.zeros(nv))
+  stiff = _np_leaf(m.jnt_stiffness)
+  qspring = _np_leaf(m.qpos_spring)
+  spring_k = np.zeros(nv)
+  spring_qadr = np.zeros(nv, np.int64)
+  spring_ref = np.zeros(nv)
+  if spring_on:
+    for j in range(m.njnt):
+      if m.jnt_type[j] in (JointType.SLIDE, JointType.HINGE) and stiff[j]:
+        v, q = int(m.jnt_dofadr[j]), int(m.jnt_qposadr[j])
+        spring_k[v] = stiff[j]
+        spring_qadr[v] = q
+        spring_ref[v] = qspring[q]
+
+  af_lo = np.full(nv, -_BIG)
+  af_hi = np.full(nv, _BIG)
+  if any(m.jnt_actfrclimited):
+    afr = _np_leaf(m.jnt_actfrcrange)
+    for v in range(nv):
+      j = int(m.dof_jntid[v])
+      if m.jnt_actfrclimited[j]:
+        af_lo[v], af_hi[v] = afr[j, 0], afr[j, 1]
+
+  # integration tables (forward._integrate_pos)
+  lin_q, lin_d, quat_q, quat_d = [], [], [], []
+  for j in range(m.njnt):
+    jtype = m.jnt_type[j]
+    qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+    if jtype == JointType.FREE:
+      lin_q += [qadr, qadr + 1, qadr + 2]
+      lin_d += [dadr, dadr + 1, dadr + 2]
+      quat_q.append(qadr + 3)
+      quat_d.append(dadr + 3)
+    elif jtype == JointType.BALL:
+      quat_q.append(qadr)
+      quat_d.append(dadr)
+    else:
+      lin_q.append(qadr)
+      lin_d.append(dadr)
+
+  # per-dof actuator groups for the moment^T force scatter
+  dof_acts = tuple(tuple(u for u in range(nu) if act_dadr[u] == v)
+                   for v in range(nv))
+
+  return dict(
+      nu=nu, nv=nv, nq=nq, actuation_on=actuation_on,
+      act_qadr=act_qadr, act_dadr=act_dadr,
+      gear0=tuple(float(g) for g in gear),
+      ctrl_lo=tuple(float(x) for x in ctrl_lo),
+      ctrl_hi=tuple(float(x) for x in ctrl_hi),
+      gain3=tuple(tuple(float(y) for y in x) for x in gain3),
+      bias3=tuple(tuple(float(y) for y in x) for x in bias3),
+      frc_lo=tuple(float(x) for x in frc_lo),
+      frc_hi=tuple(float(x) for x in frc_hi),
+      damping=tuple(float(x) for x in damping),
+      spring_k=tuple(float(x) for x in spring_k),
+      spring_qadr=tuple(int(x) for x in spring_qadr),
+      spring_ref=tuple(float(x) for x in spring_ref),
+      af_lo=tuple(float(x) for x in af_lo),
+      af_hi=tuple(float(x) for x in af_hi),
+      dof_acts=dof_acts,
+      lin_q=tuple(lin_q), lin_d=tuple(lin_d),
+      quat_q=tuple(quat_q), quat_d=tuple(quat_d))
+
+
+def _glue_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+                 qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref,
+                 qacc_ref, qfc_ref, force_ref, niter_ref, qaccs_ref,
+                 qld_ref, qacce_ref, afrc_ref, qfa_ref, qfsp_ref,
+                 qfdp_ref, qfp_ref, qfs_ref, qpos_out_ref, qvel_out_ref,
+                 h_scr, jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
+                 done_scr):
+  """Preamble: actuation + passive + qfrc_smooth; core: Newton solve
+  (+ qM factor, qacc_smooth, Euler-damped re-solve); tail: semi-implicit
+  Euler advance of qpos/qvel."""
+  nv, nq, nu = gs['nv'], gs['nq'], gs['nu']
+  L = qvel_ref.shape[-1]
+  dt = jnp.float32
+  qpos = qpos_ref[...]
+  qvel = qvel_ref[...]
+  h = p_ref[2, 0]
+  zrow = jnp.zeros((1, L), dt)
+
+  # ---- actuation (fwd_actuation, stateless affine path) ----
+  if gs['actuation_on']:
+    ctrl = ctrl_ref[...]
+    gf = []                                  # gear-scaled forces (1, L)
+    forces = []
+    for u in range(nu):
+      g0 = gs['gear0'][u]
+      length = qpos[gs['act_qadr'][u]][None, :] * g0
+      velocity = qvel[gs['act_dadr'][u]][None, :] * g0
+      c = jnp.clip(ctrl[u][None, :], gs['ctrl_lo'][u], gs['ctrl_hi'][u])
+      ga, gb, gc = gs['gain3'][u]
+      ba, bb, bc = gs['bias3'][u]
+      gain = ga + gb * length + gc * velocity
+      bias = ba + bb * length + bc * velocity
+      f = jnp.clip(gain * c + bias, gs['frc_lo'][u], gs['frc_hi'][u])
+      forces.append(f)
+      gf.append(f * g0)
+    afrc_ref[...] = (jnp.concatenate(forces, axis=0) if nu else
+                     jnp.zeros((max(nu, 1), L), dt))
+    qfa_rows = []
+    for v in range(nv):
+      acts = gs['dof_acts'][v]
+      if acts:
+        row = gf[acts[0]]
+        for u in acts[1:]:
+          row = row + gf[u]
+        row = jnp.clip(row, gs['af_lo'][v], gs['af_hi'][v])
+      else:
+        row = zrow
+      qfa_rows.append(row)
+    qfa = jnp.concatenate(qfa_rows, axis=0)
+  else:
+    afrc_ref[...] = jnp.zeros((max(nu, 1), L), dt)
+    qfa = jnp.zeros((nv, L), dt)
+  qfa_ref[...] = qfa
+
+  # ---- passive (scalar springs + dof dampers) ----
+  sp_rows = []
+  for v in range(nv):
+    k = gs['spring_k'][v]
+    if k:
+      sp_rows.append(-k * (qpos[gs['spring_qadr'][v]][None, :]
+                           - gs['spring_ref'][v]))
+    else:
+      sp_rows.append(zrow)
+  qfsp = jnp.concatenate(sp_rows, axis=0)
+  damping = np.asarray(gs['damping'], np.float32)
+  if damping.any():
+    dmp_rows = [(-gs['damping'][v]) * qvel[v][None, :] for v in range(nv)]
+    qfdp = jnp.concatenate(dmp_rows, axis=0)
+  else:
+    qfdp = jnp.zeros((nv, L), dt)
+  qfp = qfsp + qfdp
+  qfsp_ref[...] = qfsp
+  qfdp_ref[...] = qfdp
+  qfp_ref[...] = qfp
+
+  # qfrc_smooth = passive + actuator + (applied + xfrc - bias) [qfx]
+  qfs = qfp + qfa + qfx_ref[...]
+  qfs_ref[...] = qfs
+
+  # integration-diagonal for the final solve (mode 0: none; 1: Euler
+  # implicit damping h*diag(B), forward.euler; 2: implicitfast
+  # mh = qM - h*qDeriv with the diag qDeriv of derivative.py:19 —
+  # -damping + moment^T diag(b2 + g2*ctrl) moment, scalar joints)
+  mode = gs['mode']
+  if mode == 0:
+    hb = jnp.zeros((nv, 1), dt)
+  else:
+    dmp_col = jnp.concatenate(
+        [jnp.full((1, 1), gs['damping'][v], dt) for v in range(nv)],
+        axis=0)
+    hb = h * dmp_col
+    if mode == 2 and gs['actuation_on']:
+      ctrl_raw = ctrl_ref[...]
+      actd_rows = []
+      for v in range(nv):
+        acts = gs['dof_acts'][v]
+        row = zrow
+        for u in acts:
+          g0 = gs['gear0'][u]
+          g2 = gs['gain3'][u][2]
+          b2 = gs['bias3'][u][2]
+          row = row + (g0 * g0) * (b2 + g2 * ctrl_raw[u][None, :])
+        actd_rows.append(row)
+      hb = hb - h * jnp.concatenate(actd_rows, axis=0)
+
+  # ---- Newton solve + integration-diagonal re-solve ----
+  _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+               qfs, ws_ref[...], hb, qacc_ref, qfc_ref, force_ref,
+               niter_ref, qaccs_ref, qld_ref, qacce_ref, h_scr, jd_scr,
+               ma_scr, jaref_scr, search_scr, cost_scr, done_scr)
+
+  # ---- advance (forward._advance, semi-implicit) ----
+  qvel_new = qvel + h * qacce_ref[...]
+  qvel_out_ref[...] = qvel_new
+  for q, v in zip(gs['lin_q'], gs['lin_d']):
+    qpos_out_ref[q:q + 1] = qpos[q][None, :] + h * qvel_new[v][None, :]
+  for q, v in zip(gs['quat_q'], gs['quat_d']):
+    w = qvel_new[v:v + 3]                   # (3, L)
+    n2 = jnp.sum(w * w, axis=0, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(n2, 1e-30))
+    angle = norm * h
+    axis = w / norm
+    half = 0.5 * angle
+    s = jnp.sin(half)
+    dq = jnp.concatenate([jnp.cos(half), axis * s], axis=0)
+    qn = _qnormalize(_qmul(qpos[q:q + 4], dq))
+    qpos_out_ref[q:q + 4] = qn
+
+
+_GLUE_CACHE: dict = {}
+
+
+def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
+                     mode: int):
+  """Factory for the folded back-half kernel, memoized per Model id
+  (built from numpy statics only — safe inside jit traces). mode:
+  0 = plain Euler, 1 = Euler implicit joint damping, 2 = implicitfast."""
+  key = (id(m), nj, ne, nf, use_ws, mode)
+  hit = _GLUE_CACHE.get(key)
+  if hit is not None and hit[0] is m:
+    return hit[1]
+  gs = _glue_static(m)
+  gs['mode'] = mode
+  nv, nq, nu = gs['nv'], gs['nq'], gs['nu']
+  iterations = int(m.opt.iterations)
+  ls_k = 10
+  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, mode > 0)
+  kernel = functools.partial(_glue_kernel, cfg, gs)
+  num = max(nu, 1)
+
+  @jax.jit
+  def run(qm, efc_j, efc_d, efc_aref, efc_fl, qpos, qvel, ctrl, qfx,
+          warmstart, tolerance, meaninertia, timestep):
+    W = qm.shape[0]
+    wpad = -(-W // LANES) * LANES
+    dt = qm.dtype
+
+    def bl(x):
+      x = jnp.moveaxis(x, 0, -1)
+      if wpad != W:
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, wpad - W),))
+      return x
+
+    qm_t = bl(qm)
+    if wpad != W:  # keep padded-lane factorization finite
+      eye = jnp.eye(nv, dtype=dt)[:, :, None]
+      pad_mask = jnp.arange(wpad) >= W
+      qm_t = jnp.where(pad_mask[None, None, :], eye, qm_t)
+    params = jnp.stack([tolerance.astype(dt).reshape(()),
+                        meaninertia.astype(dt).reshape(()),
+                        timestep.astype(dt).reshape(())])[:, None]
+    if ctrl is None or ctrl.shape[-1] == 0:
+      ctrl = jnp.zeros((W, num), dt)
+    vm = pltpu.VMEM
+    lane2 = lambda a: pl.BlockSpec((a, LANES), lambda i: (0, i),
+                                   memory_space=vm)
+    lane3 = lambda a, b: pl.BlockSpec((a, b, LANES), lambda i: (0, 0, i),
+                                      memory_space=vm)
+    import os as _os
+    interp = (jax.default_backend() != 'tpu' and
+              _os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
+    outs = pl.pallas_call(
+        kernel,
+        grid=(wpad // LANES,),
+        interpret=interp,
+        in_specs=[
+            pl.BlockSpec((3, 1), lambda i: (0, 0), memory_space=vm),
+            lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj),
+            lane2(nj), lane2(nq), lane2(nv), lane2(num), lane2(nv),
+            lane2(nv),
+        ],
+        out_specs=[lane2(nv), lane2(nv), lane2(nj),
+                   pl.BlockSpec((1, LANES), lambda i: (0, i),
+                                memory_space=vm),
+                   lane2(nv), lane3(nv, nv), lane2(nv), lane2(num),
+                   lane2(nv), lane2(nv), lane2(nv), lane2(nv), lane2(nv),
+                   lane2(nq), lane2(nv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nj, wpad), dt),
+            jax.ShapeDtypeStruct((1, wpad), jnp.int32),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nv, nv, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((num, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+            jax.ShapeDtypeStruct((nq, wpad), dt),
+            jax.ShapeDtypeStruct((nv, wpad), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((nv, nv, LANES), jnp.float32),
+                        pltpu.VMEM((nv, nj, LANES), jnp.float32),
+                        pltpu.VMEM((nv, LANES), jnp.float32),
+                        pltpu.VMEM((nj, LANES), jnp.float32),
+                        pltpu.VMEM((nv, LANES), jnp.float32),
+                        pltpu.VMEM((1, LANES), jnp.float32),
+                        pltpu.VMEM((1, LANES), jnp.float32)],
+    )(params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
+      bl(efc_aref), bl(efc_fl), bl(qpos), bl(qvel), bl(ctrl), bl(qfx),
+      bl(warmstart))
+    t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
+    (qacc, qfc, force, niter, qaccs, qld, qacce, afrc, qfa, qfsp, qfdp,
+     qfp, qfs, qpos_out, qvel_out) = outs
+    return dict(
+        qacc=t2(qacc), qfrc_constraint=t2(qfc), efc_force=t2(force),
+        solver_niter=t2(niter)[:, 0], qacc_smooth=t2(qaccs), qLD=t2(qld),
+        qacc_euler=t2(qacce), actuator_force=t2(afrc)[:, :nu],
+        qfrc_actuator=t2(qfa), qfrc_spring=t2(qfsp),
+        qfrc_damper=t2(qfdp), qfrc_passive=t2(qfp), qfrc_smooth=t2(qfs),
+        qpos=t2(qpos_out), qvel=t2(qvel_out))
+
+  _GLUE_CACHE[key] = (m, run)
+  return run

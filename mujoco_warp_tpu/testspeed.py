@@ -47,14 +47,18 @@ def _stage_times(m, batch, nrep=20):
     return res
 
   b = batch
-  for name, fn in fwd.batched_stages(m, batch):
+  stages = fwd.batched_stages(m, batch, for_step=True)
+  for name, fn in stages:
     b = timeit(f'step.forward.{name}', fn, b)
-  integ = {IntegratorType.EULER: ('euler', fwd._euler_batched),
-           IntegratorType.RK4: ('rk4', fwd._rk4_batched),
-           IntegratorType.IMPLICITFAST: ('implicitfast',
-                                         fwd._implicit_batched)}
-  iname, ifn = integ[m.opt.integrator]
-  timeit(f'step.{iname}', lambda bb: ifn(m, bb), b)
+  if not fwd._glue_gates(m, batch):
+    # glue-folded steps integrate inside solve_glue; everything else
+    # runs a separate integrator stage
+    integ = {IntegratorType.EULER: ('euler', fwd._euler_batched),
+             IntegratorType.RK4: ('rk4', fwd._rk4_batched),
+             IntegratorType.IMPLICITFAST: ('implicitfast',
+                                           fwd._implicit_batched)}
+    iname, ifn = integ[m.opt.integrator]
+    timeit(f'step.{iname}', lambda bb: ifn(m, bb), b)
   return out
 
 
@@ -66,7 +70,7 @@ def _benchmark_function(m, batch, name: str, nrep: int):
   import importlib
   fwd = importlib.import_module(f'{__package__}.forward')
 
-  stages = fwd.batched_stages(m, batch)
+  stages = fwd.batched_stages(m, batch, for_step=True)
   names = [n for n, _ in stages]
   if name not in names:
     raise SystemExit(f'unknown stage {name!r}; choices: {names}')
