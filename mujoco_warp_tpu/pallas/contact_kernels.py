@@ -27,7 +27,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import ConstraintType, GeomType, JointType, Model
+from ..types import (ConstraintType, DisableBit, EqType, GeomType,
+                     JointType, Model)
+from .smooth_kernels import _qmul, _qrot
 
 LANES = 128
 _MINVAL = 1e-15
@@ -51,11 +53,14 @@ def supports(m: Model, d) -> bool:
   """Whether the contact megakernel covers this model (primitive-only
   pairs, pyramidal cone, no equality/friction rows, slide/hinge limits
   only, no tendons)."""
-  from ..types import ConeType
+  from ..types import ConeType, EqType
   if m.opt.cone != ConeType.PYRAMIDAL:
     return False
-  if m.neq or m.ntendon:
+  if m.ntendon:
     return False
+  for i in range(m.neq):
+    if m.eq_type[i] not in (EqType.CONNECT, EqType.WELD, EqType.JOINT):
+      return False
   if m.flex_meta.nflex:
     return False
   if m.sap_meta:  # dynamic-pair SAP models use the XLA driver
@@ -992,11 +997,53 @@ def _build_static(m: Model, nconmax: int):
       for kk in range(k):
         cands.append((t1, t2, g1, g2, kk, pid))
   ne, nf, nl, stride, njmax = io_mod.efc_layout(m, nconmax)
-  assert ne == 0
   fr_dofs = [i for i in range(m.nv) if m.dof_hasfrictionloss[i]]
   assert nf == len(fr_dofs)          # tendon friction gated by supports()
   limits = [j for j in range(m.njnt) if m.jnt_limited[j]]
-  return cands, fr_dofs, limits, nf, nl, stride, njmax
+  return cands, fr_dofs, limits, ne, nf, nl, stride, njmax
+
+
+def _eq_static(m: Model):
+  """Numpy-only static equality metadata (reference constraint.py:125:
+  connect/weld/joint; tendon/flex gated out by supports())."""
+  from ..types import EqType
+  if not m.neq:
+    return []
+  data_np = np.asarray(jax.device_get(m.eq_data))
+  sr_np = np.asarray(jax.device_get(m.eq_solref))
+  si_np = np.asarray(jax.device_get(m.eq_solimp))
+  binvw = np.asarray(jax.device_get(m.body_invweight0))
+  dinvw = np.asarray(jax.device_get(m.dof_invweight0))
+  qpos0_np = np.asarray(jax.device_get(m.qpos0))
+  rootid = [int(r) for r in m.body_rootid]
+  out = []
+  for i in range(m.neq):
+    etype = m.eq_type[i]
+    o1, o2 = int(m.eq_obj1id[i]), int(m.eq_obj2id[i])
+    em = dict(type=int(etype), i=i, o1=o1, o2=o2,
+              data=tuple(float(x) for x in data_np[i]),
+              solref=tuple(float(x) for x in sr_np[i]),
+              solimp=tuple(float(x) for x in si_np[i]))
+    if etype in (EqType.CONNECT, EqType.WELD):
+      em['root1'], em['root2'] = rootid[o1], rootid[o2]
+      em['invw_t'] = float(binvw[o1, 0] + binvw[o2, 0])
+      em['invw_r'] = float(binvw[o1, 1] + binvw[o2, 1])
+      em['nrow'] = 3 if etype == EqType.CONNECT else 6
+    else:  # JOINT
+      d1, q1 = int(m.jnt_dofadr[o1]), int(m.jnt_qposadr[o1])
+      em['d1'], em['q1'] = d1, q1
+      em['qpos0_1'] = float(qpos0_np[q1])
+      if o2 > -1:
+        d2, q2 = int(m.jnt_dofadr[o2]), int(m.jnt_qposadr[o2])
+        em['d2'], em['q2'] = d2, q2
+        em['qpos0_2'] = float(qpos0_np[q2])
+        em['invw'] = float(dinvw[d1] + dinvw[d2])
+      else:
+        em['d2'] = -1
+        em['invw'] = float(dinvw[d1])
+      em['nrow'] = 1
+    out.append(em)
+  return out
 
 
 # Kernel closures are expensive to build (static unroll over the pair
@@ -1020,7 +1067,10 @@ def make_contact_kernel(m: Model, nconmax: int):
   hit = _KERNEL_CACHE.get(key)
   if hit is not None and hit[0] is m:
     return hit[1], hit[2]
-  cands, fr_dofs, limits, nf, nl, stride, njmax = _build_static(m, nconmax)
+  cands, fr_dofs, limits, ne, nf, nl, stride, njmax = _build_static(
+      m, nconmax)
+  eq_meta = _eq_static(m)
+  eq_disabled = bool(m.opt.disableflags & DisableBit.EQUALITY)
   ncand = len(cands)
   K = nconmax
   nv, nb, ng = m.nv, m.nbody, max(m.ngeom, 1)
@@ -1029,7 +1079,6 @@ def make_contact_kernel(m: Model, nconmax: int):
                        np.float32)                      # (nb, nv) static
   rootid = [int(r) for r in m.body_rootid]
   geom_bodyid = [int(b) for b in m.geom_bodyid]
-  from ..types import DisableBit
   refsafe = not (m.opt.disableflags & DisableBit.REFSAFE)
   condim_max = m.condim_max
   geom_size_np = np.asarray(jax.device_get(m.geom_size))
@@ -1083,7 +1132,8 @@ def make_contact_kernel(m: Model, nconmax: int):
   fr_disabled = bool(m.opt.disableflags & DisableBit.FRICTIONLOSS)
 
   def kernel(scal_ref, qpos_ref, qvel_ref, gx_ref, gm_ref, com_ref,
-             cdof_ref, ptab_ref, lim_ref, dinv_ref,
+             cdof_ref, xpos_ref, xquat_ref, eqact_ref, eqm_ref,
+             ptab_ref, lim_ref, dinv_ref,
              cd_out, cp_out, cf_out, cfr_out, csr_out, csrf_out,
              csi_out, cim_out, cdim_out, cg_out, efcj_out, efcd_out,
              efcaref_out, efcpos_out, efcmargin_out, efcvel_out,
@@ -1148,6 +1198,7 @@ def make_contact_kernel(m: Model, nconmax: int):
     zero_nv = jnp.zeros((nv, L), dt)
     one_l = jnp.ones((1, L), dt)
     for fi, dadr in enumerate(fr_dofs):
+      row_f = ne + fi
       sr = lim_ref[fi, 0:2][:, None] * one_l
       si = lim_ref[fi, 2:7][:, None] * one_l
       invw = lim_ref[fi, 7:8][:, None] * one_l
@@ -1163,21 +1214,24 @@ def make_contact_kernel(m: Model, nconmax: int):
       parts.append(one_l * act)
       if dadr < nv - 1:
         parts.append(jnp.zeros((nv - dadr - 1, L), dt))
-      efcj_out[fi] = jnp.concatenate(parts, axis=0)
-      efcd_out[fi] = dval[0]
-      efcaref_out[fi] = aref[0]
-      efcpos_out[fi] = jnp.zeros((L,), dt)
-      efcmargin_out[fi] = jnp.zeros((L,), dt)
-      efcvel_out[fi] = vel[0]
-      efcfl_out[fi] = flv[0] * act
-      efctype_out[fi] = jnp.full((L,), ConstraintType.FRICTION_DOF,
-                                 jnp.int32)
-      efcid_out[fi] = jnp.full((L,), dadr, jnp.int32)
-      efcact_out[fi] = jnp.full((L,), 0 if fr_disabled else 1, jnp.int32)
+      efcj_out[row_f] = jnp.concatenate(parts, axis=0)
+      efcd_out[row_f] = dval[0]
+      efcaref_out[row_f] = aref[0]
+      efcpos_out[row_f] = jnp.zeros((L,), dt)
+      efcmargin_out[row_f] = jnp.zeros((L,), dt)
+      efcvel_out[row_f] = vel[0]
+      efcfl_out[row_f] = flv[0] * act
+      efctype_out[row_f] = jnp.full((L,), ConstraintType.FRICTION_DOF,
+                                    jnp.int32)
+      efcid_out[row_f] = jnp.full((L,), dadr, jnp.int32)
+      efcact_out[row_f] = jnp.full((L,), 0 if fr_disabled else 1,
+                                   jnp.int32)
 
-    # ---- limit rows (rows nf..nf+nl-1) ----
+    # ---- limit rows (rows ne+nf..ne+nf+nl-1; lim_ref table has no
+    # equality rows, so table reads keep the nf+li0 index) ----
     for li0, (qadr, dadr, lo, hi, lmargin, jid) in enumerate(lim_meta):
-      li = nf + li0
+      li = ne + nf + li0
+      lt = nf + li0
       q = qpos_ref[qadr:qadr + 1]
       dist_min = q - lo
       dist_max = hi - q
@@ -1192,9 +1246,9 @@ def make_contact_kernel(m: Model, nconmax: int):
         parts.append(jnp.zeros((nv - dadr - 1, L), dt))
       jrow = jnp.concatenate(parts, axis=0)
       one_l = jnp.ones((1, L), dt)
-      sr = lim_ref[li, 0:2][:, None] * one_l
-      si = lim_ref[li, 2:7][:, None] * one_l
-      invw = lim_ref[li, 7:8][:, None] * one_l
+      sr = lim_ref[lt, 0:2][:, None] * one_l
+      si = lim_ref[lt, 2:7][:, None] * one_l
+      invw = lim_ref[lt, 7:8][:, None] * one_l
       k, b, imp = _kbi(sr, si, posv, timestep, refsafe)
       act = active.astype(dt)
       dval = 1.0 / jnp.maximum(invw * (1.0 - imp) / imp, _MINVAL) * act
@@ -1219,6 +1273,136 @@ def make_contact_kernel(m: Model, nconmax: int):
     CDlin = [cdof_ref[:, 3 + i, :] for i in range(3)]  # pallas-lint: ok(once)
     POSv = [pos_scr[:, i, :] for i in range(3)]  # pallas-lint: ok(once)
     FRv = [frame_scr[:, i, :] for i in range(9)]  # pallas-lint: ok(once)
+
+    # ---- equality rows (rows 0..ne-1; reference constraint.py:125-215,
+    # connect/weld/joint — tendon/flex eq gated by supports()) ----
+    if eq_meta:
+      qvel_all = qvel_ref[...]
+
+      def cvec(vals):                                  # floats -> (k, L)
+        return jnp.concatenate(
+            [jnp.full((1, L), float(v), dt) for v in vals], axis=0)
+
+      def jacp_dif(off1, off2, m1, m2, r):
+        r1, r2 = (r + 1) % 3, (r + 2) % 3
+        cr1 = off1[r1:r1 + 1] * CDang[r2] - off1[r2:r2 + 1] * CDang[r1]
+        cr2 = off2[r1:r1 + 1] * CDang[r2] - off2[r2:r2 + 1] * CDang[r1]
+        return m1 * (CDlin[r] - cr1) - m2 * (CDlin[r] - cr2)
+
+      def eq_row(row, jrow, posr, pos_imp, invw, sr, si, act, eid):
+        kk, bb, imp = _kbi(sr, si, pos_imp, timestep, refsafe)
+        dval = (1.0 / jnp.maximum(invw * (1.0 - imp) / imp, _MINVAL)
+                ) * act
+        vel = jnp.sum(jrow * qvel_all, axis=0, keepdims=True)
+        aref = (-kk * imp * posr - bb * vel) * act
+        efcj_out[row] = jrow
+        efcd_out[row] = dval[0]
+        efcaref_out[row] = aref[0]
+        efcpos_out[row] = posr[0]
+        efcmargin_out[row] = jnp.zeros((L,), dt)
+        efcvel_out[row] = vel[0]
+        efcfl_out[row] = jnp.zeros((L,), dt)
+        efctype_out[row] = jnp.full((L,), ConstraintType.EQUALITY,
+                                    jnp.int32)
+        efcid_out[row] = jnp.full((L,), eid, jnp.int32)
+        efcact_out[row] = (act[0] > 0.5).astype(jnp.int32)
+
+    erow = 0
+    for e_idx, em in enumerate(eq_meta):
+      act = eqact_ref[e_idx:e_idx + 1] * (0.0 if eq_disabled else 1.0)
+      sr = cvec(em['solref'])
+      si = cvec(em['solimp'])
+      if em['type'] in (int(EqType.CONNECT), int(EqType.WELD)):
+        b1, b2 = em['o1'], em['o2']
+        x1, q1 = xpos_ref[b1], xquat_ref[b1]
+        x2, q2 = xpos_ref[b2], xquat_ref[b2]
+        m1 = eqm_ref[2 * e_idx][:, None]               # (nv, 1)
+        m2 = eqm_ref[2 * e_idx + 1][:, None]
+        a1, a2 = em['data'][0:3], em['data'][3:6]
+        if em['type'] == int(EqType.CONNECT):
+          pos1 = x1 + _qrot(cvec(a1), q1)
+          pos2 = x2 + _qrot(cvec(a2), q2)
+        else:                                          # WELD anchor swap
+          pos1 = x1 + _qrot(cvec(a2), q1)
+          pos2 = x2 + _qrot(cvec(a1), q2)
+        cpos = pos1 - pos2
+        off1 = pos1 - com_ref[em['root1']]
+        off2 = pos2 - com_ref[em['root2']]
+        if em['type'] == int(EqType.CONNECT):
+          pos_imp = jnp.sqrt(jnp.sum(cpos * cpos, axis=0, keepdims=True))
+          for r in range(3):
+            eq_row(erow + r, jacp_dif(off1, off2, m1, m2, r),
+                   cpos[r:r + 1], pos_imp, em['invw_t'], sr, si, act,
+                   em['i'])
+          erow += 3
+        else:
+          relpose, ts = em['data'][6:10], em['data'][10]
+          quat = _qmul(q1, cvec(relpose))
+          quat1 = jnp.concatenate([q2[0:1], -q2[1:4]], axis=0)  # inv
+          crotq = _qmul(quat1, quat)
+          crot = crotq[1:4] * ts
+          pos_imp = jnp.sqrt(
+              jnp.sum(cpos * cpos, axis=0, keepdims=True) +
+              jnp.sum(crot * crot, axis=0, keepdims=True))
+          # linear map col -> 0.5*(quat1 x (0,col) x quat)_vec, built
+          # from its action on the basis (3 quaternion products)
+          zero1 = jnp.zeros((1, L), dt)
+          one1 = jnp.ones((1, L), dt)
+          Mcols = []
+          for k in range(3):
+            ek = [zero1] * 4
+            ek[0] = zero1
+            ek[1 + k] = one1
+            qk = _qmul(quat1, _qmul(jnp.concatenate(ek, axis=0), quat))
+            Mcols.append(0.5 * qk[1:4])                # (3, L)
+          jacdifr = [ts * (m1 - m2) * CDang[r] for r in range(3)]
+          for r in range(3):
+            eq_row(erow + r, jacp_dif(off1, off2, m1, m2, r),
+                   cpos[r:r + 1], pos_imp, em['invw_t'], sr, si, act,
+                   em['i'])
+          for r in range(3):
+            jdifr = (Mcols[0][r:r + 1] * jacdifr[0] +
+                     Mcols[1][r:r + 1] * jacdifr[1] +
+                     Mcols[2][r:r + 1] * jacdifr[2])
+            eq_row(erow + 3 + r, jdifr, crot[r:r + 1], pos_imp,
+                   em['invw_r'], sr, si, act, em['i'])
+          erow += 6
+      else:                                            # JOINT
+        d1 = em['d1']
+        q1v = qpos_ref[em['q1']:em['q1'] + 1] - em['qpos0_1']
+        if em['d2'] > -1:
+          dif = qpos_ref[em['q2']:em['q2'] + 1] - em['qpos0_2']
+          c0, c1, c2, c3, c4 = em['data'][0:5]
+          rhs = c0 + dif * (c1 + dif * (c2 + dif * (c3 + dif * c4)))
+          deriv = c1 + dif * (2 * c2 + dif * (3 * c3 + dif * 4 * c4))
+          posr = q1v - rhs
+          parts = []
+          lo_d, hi_d = min(d1, em['d2']), max(d1, em['d2'])
+          row1 = jnp.ones((1, L), dt)
+          rowd = -deriv
+          first, second = ((row1, rowd) if d1 < em['d2'] else
+                           (rowd, row1))
+          if lo_d > 0:
+            parts.append(jnp.zeros((lo_d, L), dt))
+          parts.append(first)
+          if hi_d - lo_d > 1:
+            parts.append(jnp.zeros((hi_d - lo_d - 1, L), dt))
+          parts.append(second)
+          if hi_d < nv - 1:
+            parts.append(jnp.zeros((nv - hi_d - 1, L), dt))
+          jrow = jnp.concatenate(parts, axis=0)
+        else:
+          posr = q1v - em['data'][0]
+          parts = []
+          if d1 > 0:
+            parts.append(jnp.zeros((d1, L), dt))
+          parts.append(jnp.ones((1, L), dt))
+          if d1 < nv - 1:
+            parts.append(jnp.zeros((nv - d1 - 1, L), dt))
+          jrow = jnp.concatenate(parts, axis=0)
+        eq_row(erow, jrow, posr, posr, em['invw'], sr, si, act, em['i'])
+        erow += 1
+    assert erow == ne, (erow, ne)
 
     ncon = jnp.zeros((1, L), dt)
     ranks = key_scr[...]                                 # (ncand, L)
@@ -1295,7 +1479,7 @@ def make_contact_kernel(m: Model, nconmax: int):
       si = pvals[P_SOLIMP:P_SOLIMP + 5]
       k, b, imp = _kbi(sr, si, posv, timestep, refsafe)
 
-      base = nf + nl + s * stride
+      base = ne + nf + nl + s * stride
       for r in range(stride):
         kidx = r // 2 + 1
         sign = 1.0 if r % 2 == 0 else -1.0
@@ -1345,7 +1529,7 @@ def make_contact_kernel(m: Model, nconmax: int):
 
     ncon_out[...] = jnp.minimum(ncon, float(K)).astype(jnp.int32)
     # pad rows beyond layout with zeros
-    for row in range(nf + nl + K * stride, njmax):
+    for row in range(ne + nf + nl + K * stride, njmax):
       efcj_out[row] = zero_nv
       efcd_out[row] = jnp.zeros((L,), dt)
       efcaref_out[row] = jnp.zeros((L,), dt)
@@ -1357,8 +1541,14 @@ def make_contact_kernel(m: Model, nconmax: int):
       efcid_out[row] = jnp.zeros((L,), jnp.int32)
       efcact_out[row] = jnp.zeros((L,), jnp.int32)
 
+  eqmask = np.zeros((max(2 * len(eq_meta), 1), nv), np.float32)
+  for e_idx, em in enumerate(eq_meta):
+    if em['type'] in (int(EqType.CONNECT), int(EqType.WELD)):
+      eqmask[2 * e_idx] = dof_anc[em['o1']]
+      eqmask[2 * e_idx + 1] = dof_anc[em['o2']]
   meta = dict(cands=cands, limits=limits, lim_meta=lim_meta,
-              fr_dofs=fr_dofs, nf=nf, nl=nl,
+              fr_dofs=fr_dofs, ne=ne, eq_meta=eq_meta, eqmask=eqmask,
+              nf=nf, nl=nl,
               stride=stride, njmax=njmax, ncand=ncand, K=K, P=P,
               P_FR=P_FR, P_SOLREF=P_SOLREF, P_SOLIMP=P_SOLIMP,
               P_MARGIN=P_MARGIN, P_INCL=P_INCL, P_CONDIM=P_CONDIM,
@@ -1446,12 +1636,17 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
                            ((0, wpad - W),)) if wpad != W else x)
   gm9 = d.geom_xmat.reshape(W, ng, 9) if m.ngeom else jnp.zeros(
       (W, 1, 9), dt)
+  neqr = max(m.neq, 1)
+  eq_active = (d.eq_active.astype(dt) if m.neq else
+               jnp.zeros((W, 1), dt))
   inputs = [
       jnp.stack([m.opt.timestep.astype(dt).reshape(()),
                  m.opt.impratio.astype(dt).reshape(())])[:, None],
       pad(bl(d.qpos)), pad(bl(d.qvel)),
       pad(bl(d.geom_xpos if m.ngeom else jnp.zeros((W, 1, 3), dt))),
       pad(bl(gm9)), pad(bl(d.subtree_com)), pad(bl(d.cdof)),
+      pad(bl(d.xpos)), pad(bl(d.xquat)), pad(bl(eq_active)),
+      jnp.asarray(meta['eqmask']),
       _ptab(m, meta), _lim_tab(m, meta),
       jnp.zeros((1, 1), dt),
   ]
@@ -1465,6 +1660,8 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
                                     memory_space=vm)
   in_specs = [const((2, 1)), lane2(nq), lane2(nv), lane3(ng, 3),
               lane3(ng, 9), lane3(nb, 3), lane3(nv, 6),
+              lane3(nb, 3), lane3(nb, 4), lane2(neqr),
+              const((meta['eqmask'].shape[0], nv)),
               const((meta['P'], ncand)), const((nfl, 9)), const((1, 1))]
   out_meta = [
       ('con_dist', (K,), dt), ('con_pos', (K, 3), dt),
@@ -1505,8 +1702,8 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
 
   t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
   o = {name: t2(v) for (name, _, _), v in zip(out_meta, outs)}
-  nf = meta['nf']
-  efc_address = nf + nl + stride * jnp.arange(K, dtype=jnp.int32)
+  nf, ne = meta['nf'], meta['ne']
+  efc_address = ne + nf + nl + stride * jnp.arange(K, dtype=jnp.int32)
   valid = o['con_geom'][:, :, 0] >= 0
   con = d.contact.replace(
       dist=o['con_dist'], pos=o['con_pos'],
@@ -1516,15 +1713,15 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
       includemargin=o['con_includemargin'], dim=o['con_dim'],
       geom=o['con_geom'],
       efc_address=jnp.where(valid, efc_address[None, :], -1))
-  zero = jnp.zeros((W,), jnp.int32)
-  nf_count = jnp.sum(o['efc_active'][:, :nf], axis=-1)
-  nl_count = jnp.sum(o['efc_active'][:, nf:nf + nl], axis=-1)
+  ne_count = jnp.sum(o['efc_active'][:, :ne], axis=-1)
+  nf_count = jnp.sum(o['efc_active'][:, ne:ne + nf], axis=-1)
+  nl_count = jnp.sum(o['efc_active'][:, ne + nf:ne + nf + nl], axis=-1)
   return d.replace(
       contact=con, ncon=o['ncon'][:, 0], ncollision=o['ncollision'][:, 0],
       efc_J=o['efc_J'], efc_D=o['efc_D'], efc_aref=o['efc_aref'],
       efc_pos=o['efc_pos'], efc_margin=o['efc_margin'],
       efc_vel=o['efc_vel'], efc_frictionloss=o['efc_frictionloss'],
       efc_type=o['efc_type'], efc_id=o['efc_id'],
-      efc_active=o['efc_active'].astype(bool), ne=zero, nf=nf_count,
+      efc_active=o['efc_active'].astype(bool), ne=ne_count, nf=nf_count,
       nl=nl_count,
       nefc=jnp.sum(o['efc_active'], axis=-1))
