@@ -1009,12 +1009,12 @@ def _eq_static(m: Model):
   from ..types import EqType
   if not m.neq:
     return []
-  data_np = np.asarray(jax.device_get(m.eq_data))
-  sr_np = np.asarray(jax.device_get(m.eq_solref))
-  si_np = np.asarray(jax.device_get(m.eq_solimp))
-  binvw = np.asarray(jax.device_get(m.body_invweight0))
-  dinvw = np.asarray(jax.device_get(m.dof_invweight0))
-  qpos0_np = np.asarray(jax.device_get(m.qpos0))
+  data_np = np.asarray(jax.device_get(m.eq_data))  # pallas-lint: ok(kernel-build time)
+  sr_np = np.asarray(jax.device_get(m.eq_solref))  # pallas-lint: ok(kernel-build time)
+  si_np = np.asarray(jax.device_get(m.eq_solimp))  # pallas-lint: ok(kernel-build time)
+  binvw = np.asarray(jax.device_get(m.body_invweight0))  # pallas-lint: ok(kernel-build time)
+  dinvw = np.asarray(jax.device_get(m.dof_invweight0))  # pallas-lint: ok(kernel-build time)
+  qpos0_np = np.asarray(jax.device_get(m.qpos0))  # pallas-lint: ok(kernel-build time)
   rootid = [int(r) for r in m.body_rootid]
   out = []
   for i in range(m.neq):

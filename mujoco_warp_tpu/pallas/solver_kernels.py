@@ -385,7 +385,7 @@ _BIG = 1e30
 
 
 def _np_leaf(x):
-  return np.asarray(jax.device_get(x))
+  return np.asarray(jax.device_get(x))  # pallas-lint: ok(concrete Model leaf at kernel-build time)
 
 
 def glue_supported(m) -> bool:
@@ -416,9 +416,9 @@ def glue_supported(m) -> bool:
   # batched ("*"-leading) or traced Model leaves can't bake into the
   # kernel's static tables — fall back to the XLA glue stages
   try:
-    if np.asarray(jax.device_get(m.actuator_gear)).ndim not in (1, 2):
+    if np.asarray(jax.device_get(m.actuator_gear)).ndim not in (1, 2):  # pallas-lint: ok(tracer-guarded)
       return False
-    if np.asarray(jax.device_get(m.dof_damping)).ndim > 1:
+    if np.asarray(jax.device_get(m.dof_damping)).ndim > 1:  # pallas-lint: ok(tracer-guarded)
       return False
   except Exception:
     return False
