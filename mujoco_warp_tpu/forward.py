@@ -510,7 +510,11 @@ def _glue_stages(m: Model, d: Data) -> list:
                         actuator_velocity=dd.qvel[:, dadr] * gear0)
     add('act_len_vel', act_len_vel)
   add('sensor_pos', vm(sensor_mod.sensor_pos))
+  if m.opt.enableflags & 2:  # EnableBit.ENERGY
+    add('energy_pos', vm(sensor_mod.energy_pos))
   add('sensor_vel', vm(sensor_mod.sensor_vel))
+  if m.opt.enableflags & 2:
+    add('energy_vel', vm(sensor_mod.energy_vel))
 
   needs_preadv = bool(m.nsensor) and any(
       m.sensor_type[s] in sensor_mod._RNE_POST_SENSORS
@@ -596,6 +600,8 @@ def batched_stages(m: Model, d: Data, for_step: bool = False) -> list:
       add('make_constraint', vm(constraint.make_constraint))
     add('transmission', vm(smooth.transmission))
     add('sensor_pos', vm(sensor_mod.sensor_pos))
+    if m.opt.enableflags & 2:  # EnableBit.ENERGY
+      add('energy_pos', vm(sensor_mod.energy_pos))
 
     # velocity stage: tree math (com_vel/rne) already done in the mega
     # kernel; only actuator/tendon velocities + passive forces remain
@@ -611,11 +617,17 @@ def batched_stages(m: Model, d: Data, for_step: bool = False) -> list:
     add('velocity_glue', vel_glue)
     add('passive', vm(passive_mod.passive))
     add('sensor_vel', vm(sensor_mod.sensor_vel))
+    if m.opt.enableflags & 2:
+      add('energy_vel', vm(sensor_mod.energy_vel))
   else:
     add('fwd_position', vm(fwd_position, factorize=False))
     add('sensor_pos', vm(sensor_mod.sensor_pos))
+    if m.opt.enableflags & 2:  # EnableBit.ENERGY
+      add('energy_pos', vm(sensor_mod.energy_pos))
     add('fwd_velocity', vm(fwd_velocity))
     add('sensor_vel', vm(sensor_mod.sensor_vel))
+    if m.opt.enableflags & 2:
+      add('energy_vel', vm(sensor_mod.energy_vel))
   add('fwd_actuation', vm(fwd_actuation))
   add('fwd_acceleration', lambda dd: _fwd_acceleration_batched(m, dd))
   fused = solver_mod.uses_fused_kernel(m, d)
