@@ -531,17 +531,27 @@ def _glue_stages(m: Model, d: Data) -> list:
   def solve_glue(dd):
     from . import io as io_mod
     from .pallas import solver_kernels
+    from .types import ConeType
     nconmax_l = dd.contact.dist.shape[-1]
-    ne, nf, _, _, njmax_l = io_mod.efc_layout(m, nconmax_l)
+    ne, nf, nl, stride, njmax_l = io_mod.efc_layout(m, nconmax_l)
     use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
+    ell = None
+    con_friction = con_dim = impratio = None
+    if (m.opt.cone == ConeType.ELLIPTIC and nconmax_l > 0 and
+        stride >= 2):
+      ell = (ne + nf + nl, stride, nconmax_l)
+      con_friction = dd.contact.friction
+      con_dim = jnp.where(dd.contact.geom[..., 0] >= 0,
+                          dd.contact.dim, 0).astype(dd.qpos.dtype)
+      impratio = m.opt.impratio
     run = solver_kernels.make_glue_kernel(m, njmax_l, ne, nf, use_ws,
-                                          mode)
+                                          mode, ell=ell)
     qfx = jax.vmap(lambda x: (x.qfrc_applied + support.xfrc_accumulate(
         m, x) - x.qfrc_bias))(dd)
     outs = run(dd.qM, dd.efc_J, dd.efc_D, dd.efc_aref,
                dd.efc_frictionloss, dd.qpos, dd.qvel, dd.ctrl, qfx,
                dd.qacc_warmstart, m.opt.tolerance, m.stat.meaninertia,
-               m.opt.timestep)
+               m.opt.timestep, con_friction, con_dim, impratio)
     qpos_new, qvel_new = outs.pop('qpos'), outs.pop('qvel')
     dd = dd.replace(**outs)
     if not needs_preadv:

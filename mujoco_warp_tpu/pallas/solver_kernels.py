@@ -10,8 +10,12 @@ worlds are done (the TPU analogue of the reference's per-world early
 outs + conditional CUDA graph, mujoco_warp/_src/solver.py:3151-3343),
 and every per-iteration quantity lives in VMEM.
 
-Scope: Newton + pyramidal cone + parallel linesearch (the benchmark
-regime). CG / elliptic / iterative-LS fall back to the XLA solver.
+Scope: Newton, both friction cones — pyramidal and elliptic (zones,
+cone-surface forces, JTCJ Hessian block corrections, cone linesearch
+terms; reference solver.py elliptic branch). The in-kernel linesearch
+(bracket + secant + Newton polish on the convex phi') serves both the
+ls_parallel and iterative-LS configurations. CG falls back to the XLA
+solver.
 
 As a bonus the kernel also computes qacc_smooth = qM^-1 qfrc_smooth and
 the qM Cholesky factor (the fwd_acceleration products, reference
@@ -71,14 +75,28 @@ def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
                    jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
                    done_scr):
   _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
-               qfs_ref[...], ws_ref[...], hb_ref[...], qacc_ref, qfc_ref,
+               qfs_ref[...], ws_ref[...], hb_ref[...], None, qacc_ref,
+               qfc_ref, force_ref, niter_ref, qaccs_ref, qld_ref,
+               qacce_ref, h_scr, jd_scr, ma_scr, jaref_scr, search_scr,
+               cost_scr, done_scr)
+
+
+def _newton_ell_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref,
+                       fl_ref, qfs_ref, ws_ref, hb_ref, fr_ref, dim_ref,
+                       qacc_ref, qfc_ref, force_ref, niter_ref,
+                       qaccs_ref, qld_ref, qacce_ref, h_scr, jd_scr,
+                       ma_scr, jaref_scr, search_scr, cost_scr,
+                       done_scr):
+  _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+               qfs_ref[...], ws_ref[...], hb_ref[...],
+               (fr_ref[...], dim_ref[...]), qacc_ref, qfc_ref,
                force_ref, niter_ref, qaccs_ref, qld_ref, qacce_ref,
                h_scr, jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
                done_scr)
 
 
 def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
-                 qfs, ws, hb, qacc_ref, qfc_ref, force_ref,
+                 qfs, ws, hb, con, qacc_ref, qfc_ref, force_ref,
                  niter_ref, qaccs_ref, qld_ref, qacce_ref, h_scr,
                  jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
                  done_scr):
@@ -86,8 +104,9 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   is a contiguous leading-dim slice. Strided middle-dim indexing and
   per-element writes measured ~100x slower in Mosaic. `qfs` (qfrc_smooth)
   and `ws` (warmstart qacc) come in as VALUES so the glue kernel can
-  assemble qfrc_smooth in its preamble."""
-  (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp) = cfg
+  assemble qfrc_smooth in its preamble. `con` = (friction (C, 5, L),
+  dim (C, L)) values for the elliptic cone (None for pyramidal)."""
+  (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp, ell) = cfg
   L = qfs.shape[-1]
   dt = jnp.float32
 
@@ -106,6 +125,47 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   D = d_ref[...]
   fl = fl_ref[...]
   rf = fl / jnp.maximum(D, _MINVAL)
+
+  # ---- elliptic cone precompute (reference solver.py elliptic branch;
+  # mirrors the XLA _elliptic_quantities/_elliptic_zones in solver.py) --
+  if ell is not None:
+    base, S, C = ell
+    assert base + C * S == nj, 'contact rows must be the efc tail'
+    impratio = p_ref[3, 0]
+    fr_c, dim_c = con                     # (C, 5, L), (C, L)
+    mu_c = fr_c[:, 0, :] / jnp.sqrt(jnp.maximum(impratio, _MINVAL))
+    s_rows = [mu_c[:, None, :]]
+    valid_rows = [(dim_c >= 1.0)[:, None, :]]
+    for rr in range(1, S):
+      s_rows.append(fr_c[:, min(rr - 1, 4), :][:, None, :])
+      valid_rows.append((dim_c > float(rr))[:, None, :])
+    s_c = jnp.concatenate(s_rows, axis=1)            # (C, S, L)
+    rowvalid = jnp.concatenate(valid_rows, axis=1)   # (C, S, L) bool
+    # frictionless (dim == 1) contacts keep the one-sided row handling
+    is_ell_c = dim_c > 1.0                           # (C, L)
+    ell_rows = jnp.repeat(is_ell_c, S, axis=0)       # (C*S, L)
+    rv_f = rowvalid.astype(dt)
+    d_blk = D[base:].reshape(C, S, L)
+    d0_c = d_blk[:, 0, :]
+    mu2_c = mu_c * mu_c
+    dm_c = d0_c / jnp.maximum(mu2_c * (1.0 + mu2_c), _MINVAL)
+
+    def cone_xu(vec):
+      """Contact tail of a (nj, L) row vector -> (x, u, N, T) blocks."""
+      x = vec[base:].reshape(C, S, L) * rv_f
+      u = x * s_c
+      n_c = u[:, 0, :]
+      t_c = jnp.sqrt(jnp.maximum(
+          jnp.sum(u[:, 1:, :] ** 2, axis=1), 0.0))
+      return x, u, n_c, t_c
+
+    def cone_zones(n_c, t_c):
+      top = n_c >= mu_c * t_c
+      bottom = ~top & (mu_c * n_c + t_c <= 0.0)
+      middle = (~top & ~bottom) & is_ell_c
+      return top, bottom & is_ell_c, middle
+  else:
+    ell_rows = None
 
   def matvec_qm(x):
     rows = [jnp.sum(qm_ref[i] * x, axis=0, keepdims=True)
@@ -140,6 +200,37 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     cost_rows = jnp.where(quad, 0.5 * D * jaref * jaref, 0.0)
     cost_rows = jnp.where(lin_neg, -fl * (0.5 * rf + jaref), cost_rows)
     cost_rows = jnp.where(lin_pos, -fl * (0.5 * rf - jaref), cost_rows)
+    if ell is not None:
+      # cone zones per contact block (reference update_constraint_efc
+      # elliptic branch; XLA mirror solver._update_constraint)
+      x, u, n_c, t_c = cone_xu(jaref)
+      top, bottom, middle = cone_zones(n_c, t_c)
+      nmt = n_c - mu_c * t_c
+      f_norm = -dm_c * nmt * mu_c                      # (C, L)
+      t_safe = jnp.maximum(t_c, _MINVAL)
+      f_fric = -(f_norm / t_safe)[:, None, :] * (u * s_c)
+      f_mid = jnp.concatenate([f_norm[:, None, :], f_fric[:, 1:, :]],
+                              axis=1)
+      f_bot = -d_blk * x
+      f_blk = (jnp.where(middle[:, None, :], f_mid,
+                         jnp.where(bottom[:, None, :], f_bot, 0.0)) *
+               rv_f).reshape(C * S, L)
+      force = jnp.concatenate([
+          force[:base],
+          jnp.where(ell_rows, f_blk, force[base:])], axis=0)
+      c_mid = 0.5 * dm_c * nmt * nmt
+      c_bot = jnp.sum(0.5 * d_blk * x * x * rv_f, axis=1)
+      c_blk = jnp.where(middle, c_mid, jnp.where(bottom, c_bot, 0.0))
+      cost_rows = jnp.concatenate([
+          cost_rows[:base],
+          jnp.where(ell_rows, 0.0, cost_rows[base:])], axis=0)
+      cost = (jnp.sum(cost_rows, axis=0, keepdims=True) +
+              jnp.sum(c_blk, axis=0, keepdims=True))
+      quad_blk = (bottom[:, None, :] & rowvalid).reshape(C * S, L)
+      quad = jnp.concatenate([
+          quad[:base], jnp.where(ell_rows, quad_blk, quad[base:])],
+          axis=0)
+      return force, cost, quad
     cost = jnp.sum(cost_rows, axis=0, keepdims=True)
     return force, cost, quad
 
@@ -147,20 +238,92 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     return 0.5 * jnp.sum((ma - qfs) * (qacc - qacc_smooth), axis=0,
                          keepdims=True)
 
-  def newton_mgrad(grad, quad):
+  def newton_mgrad(grad, quad, jaref=None):
     dh = D * quad.astype(dt)               # (nj, L)
+    if ell is None:
+      for i in range(nv):
+        jd_scr[i] = j_ref[i] * dh
+      for i in range(nv):
+        vals = [jnp.sum(jd_scr[i] * j_ref[j], axis=0, keepdims=True)
+                for j in range(nv)]
+        h_scr[i] = qm_ref[i] + jnp.concatenate(vals, axis=0)
+      cols = _chol_cols(nv, lambda j: h_scr[j])
+      return _chol_solve(nv, cols, grad)
+
+    # elliptic: H = M + J^T (diag(dh) + blockdiag(Cc)) J with the
+    # cone-surface correction Cc per middle-zone contact (reference
+    # update_gradient_JTCJ; XLA mirror solver._update_gradient)
+    x, u, n_c, t_c = cone_xu(jaref)
+    top, bottom, middle = cone_zones(n_c, t_c)
+    t_safe = jnp.maximum(t_c, _MINVAL)
+    t3 = jnp.maximum(t_c * t_safe * t_safe, _MINVAL)
+    mu_over_t = mu_c / t_safe
+    mnt3 = mu_c * n_c / t3
+    diag_add = mu2_c - mu_c * n_c / t_safe
+    mid_f = middle.astype(dt)
+    # Cc[r, s] as (C, L) values in scaled coordinates x scale factors
+    cc = {}
+    for rr in range(S):
+      for ss in range(rr, S):
+        if rr == 0 and ss == 0:
+          hc = jnp.ones((C, L), dt)
+        elif rr == 0:
+          hc = -mu_over_t * u[:, ss, :]
+        else:
+          hc = mnt3 * u[:, rr, :] * u[:, ss, :]
+          if rr == ss:
+            hc = hc + diag_add
+        scale = dm_c * s_c[:, rr, :] * s_c[:, ss, :]
+        mask = mid_f * rv_f[:, rr, :] * rv_f[:, ss, :]
+        cc[(rr, ss)] = hc * scale * mask
+    # weighted J rows: jd[i] = dh*J[i] + cone-mixed contact tail
+    h_rows = []
     for i in range(nv):
-      jd_scr[i] = j_ref[i] * dh
+      ji = j_ref[i]
+      jd_i = ji * dh
+      blk = ji[base:].reshape(C, S, L)
+      mix_rows = []
+      for rr in range(S):
+        acc = cc[(rr, rr)] * blk[:, rr, :]
+        for ss in range(S):
+          if ss == rr:
+            continue
+          key = (rr, ss) if rr < ss else (ss, rr)
+          acc = acc + cc[key] * blk[:, ss, :]
+        mix_rows.append(acc[:, None, :])
+      mix = jnp.concatenate(mix_rows, axis=1).reshape(C * S, L)
+      jd_i = jnp.concatenate([jd_i[:base], jd_i[base:] + mix], axis=0)
+      jd_scr[i] = jd_i
     for i in range(nv):
       vals = [jnp.sum(jd_scr[i] * j_ref[j], axis=0, keepdims=True)
               for j in range(nv)]
-      h_scr[i] = qm_ref[i] + jnp.concatenate(vals, axis=0)
+      h_rows.append(qm_ref[i] + jnp.concatenate(vals, axis=0))
+    # f32 guard: relative Tikhonov floor keeps the cone-corrected H
+    # factorizable (same guard as the XLA path)
+    tr = h_rows[0][0:1] * 0.0
+    for i in range(nv):
+      tr = tr + h_rows[i][i:i + 1] * (1.0 / nv)
+    eps = 1e-7 * tr                                   # (1, L)
+    for i in range(nv):
+      row = h_rows[i]
+      parts = []
+      if i > 0:
+        parts.append(row[:i])
+      parts.append(row[i:i + 1] + eps)
+      if i < nv - 1:
+        parts.append(row[i + 1:])
+      h_scr[i] = jnp.concatenate(parts, axis=0)
     cols = _chol_cols(nv, lambda j: h_scr[j])
     return _chol_solve(nv, cols, grad)
 
   def linesearch(jaref, search, ma, jv, mv):
     g0 = jnp.sum(search * (ma - qfs), axis=0, keepdims=True)
     h0 = jnp.sum(search * mv, axis=0, keepdims=True)
+    if ell is not None:
+      jv_blk = jv[base:].reshape(C, S, L) * rv_f
+      v_blk = jv_blk * s_c
+      v1 = v_blk[:, 0, :]
+      vfr2 = jnp.sum(v_blk[:, 1:, :] ** 2, axis=1)
 
     def phi_d(alpha):                      # alpha (1, L)
       x = jaref + alpha * jv
@@ -171,8 +334,36 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
       d1_rows = d1_rows + jnp.where(lin_neg, -fl * jv, 0.0)
       d1_rows = d1_rows + jnp.where(lin_pos, fl * jv, 0.0)
       d2_rows = jnp.where(quad, D * jv * jv, 0.0)
+      if ell is not None:
+        # replace cone rows' one-sided terms with the per-contact cone
+        # derivative (reference _eval_elliptic; XLA solver._linesearch)
+        d1_rows = jnp.concatenate([
+            d1_rows[:base], jnp.where(ell_rows, 0.0, d1_rows[base:])],
+            axis=0)
+        d2_rows = jnp.concatenate([
+            d2_rows[:base], jnp.where(ell_rows, 0.0, d2_rows[base:])],
+            axis=0)
       d1 = g0 + alpha * h0 + jnp.sum(d1_rows, axis=0, keepdims=True)
       d2 = h0 + jnp.sum(d2_rows, axis=0, keepdims=True)
+      if ell is not None:
+        xb = x[base:].reshape(C, S, L) * rv_f
+        ub = xb * s_c
+        n_a = ub[:, 0, :]
+        t_a = jnp.sqrt(jnp.maximum(
+            jnp.sum(ub[:, 1:, :] ** 2, axis=1), _MINVAL))
+        t1 = jnp.sum(ub[:, 1:, :] * v_blk[:, 1:, :], axis=1) / t_a
+        t2 = (vfr2 - t1 * t1) / t_a
+        top, bottom, middle = cone_zones(n_a, t_a)
+        nmt = n_a - mu_c * t_a
+        n1mt1 = v1 - mu_c * t1
+        d1_mid = dm_c * nmt * n1mt1
+        d2_mid = dm_c * (n1mt1 * n1mt1 - nmt * mu_c * t2)
+        d1_bot = jnp.sum(d_blk * xb * jv_blk, axis=1)
+        d2_bot = jnp.sum(d_blk * jv_blk * jv_blk, axis=1)
+        d1c = jnp.where(middle, d1_mid, jnp.where(bottom, d1_bot, 0.0))
+        d2c = jnp.where(middle, d2_mid, jnp.where(bottom, d2_bot, 0.0))
+        d1 = d1 + jnp.sum(d1c, axis=0, keepdims=True)
+        d2 = d2 + jnp.sum(d2c, axis=0, keepdims=True)
       return d1, d2
 
     zero = jnp.zeros((1, L), dt)
@@ -200,11 +391,24 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     a_max = alpha0 * np.float32(scales[-1])
     p1_m, p2_m = phi_d(a_max)
     newton_tail = a_max - p1_m / jnp.maximum(p2_m, _MINVAL)
-    alpha = jnp.where(any_hi, secant, jnp.maximum(newton_tail, 0.0))
+    alpha = jnp.where(any_hi, secant, jnp.maximum(newton_tail, a_max))
     alpha_cap = 10.0 * a_max
-    for _ in range(3):
+    # safeguarded Newton-bisection polish: phi' is only piecewise
+    # smooth (cone zone transitions put kinks in it) and a raw Newton
+    # step can oscillate across a kink forever — keep the bracket
+    # [lo, hi] live and fall back to its midpoint whenever the Newton
+    # step leaves it
+    for _ in range(4):
       p1_a, p2_a = phi_d(alpha)
-      alpha = alpha - p1_a / jnp.maximum(p2_a, _MINVAL)
+      neg = p1_a < 0
+      lo = jnp.where(neg, jnp.maximum(lo, alpha), lo)
+      hi = jnp.where(neg, hi, jnp.minimum(hi, alpha))
+      has_hi = jnp.isfinite(hi)
+      step = alpha - p1_a / jnp.maximum(p2_a, _MINVAL)
+      inside = (step > lo) & (step < hi)
+      alpha = jnp.where(inside, step,
+                        jnp.where(has_hi, 0.5 * (lo + hi),
+                                  jnp.maximum(step, lo)))
       alpha = jnp.clip(alpha, 0.0, alpha_cap)
     return jnp.where(p1_0 >= 0, 0.0, alpha)
 
@@ -215,7 +419,7 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   force, cost_c, quad = update_constraint(jaref)
   cost = cost_c + gauss_cost(qacc, ma)
   grad = ma - qfs - matvec_jt(force)
-  mgrad = newton_mgrad(grad, quad)
+  mgrad = newton_mgrad(grad, quad, jaref)
   gradnorm = jnp.sqrt(jnp.sum(grad * grad, axis=0, keepdims=True))
   done = gradnorm / rescale_den < tol
 
@@ -249,7 +453,7 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     force, cost_c, quad = update_constraint(jaref)
     newcost = cost_c + gauss_cost(qacc, ma)
     grad = ma - qfs - matvec_jt(force)
-    mgrad = newton_mgrad(grad, quad)
+    mgrad = newton_mgrad(grad, quad, jaref)
     improvement = (cost - newcost) / rescale_den
     gradnorm = jnp.sqrt(jnp.sum(grad * grad, axis=0,
                                 keepdims=True)) / rescale_den
@@ -294,13 +498,17 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
 
 @functools.partial(jax.jit, static_argnames=('ne', 'nf', 'iterations',
                                              'ls_k', 'use_ws',
-                                             'interpret', 'euler_damp'))
+                                             'interpret', 'euler_damp',
+                                             'ell'))
 def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
-                         warmstart, tolerance, meaninertia, hb=None, *,
-                         ne, nf, iterations, ls_k=10, use_ws=True,
-                         interpret=False, euler_damp=False):
+                         warmstart, tolerance, meaninertia, hb=None,
+                         con_friction=None, con_dim=None, impratio=None,
+                         *, ne, nf, iterations, ls_k=10, use_ws=True,
+                         interpret=False, euler_damp=False, ell=None):
   """Batched Newton solve. All inputs (W, ...) batch-first; returns
-  (qacc, qfrc_constraint, efc_force, niter, qacc_smooth, qLD)."""
+  (qacc, qfrc_constraint, efc_force, niter, qacc_smooth, qLD).
+  ell = (base, S, C) static contact-block layout for the elliptic cone
+  (con_friction (W, C, 5), con_dim (W, C) and impratio required)."""
   W, nj, nv = efc_j.shape
   wpad = -(-W // LANES) * LANES
   dt = qm.dtype
@@ -316,28 +524,42 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
     eye = jnp.eye(nv, dtype=dt)[:, :, None]
     pad_mask = jnp.arange(wpad) >= W
     qm_t = jnp.where(pad_mask[None, None, :], eye, qm_t)
+  if impratio is None:
+    impratio = jnp.ones((), dt)
   params = jnp.stack([tolerance.astype(dt).reshape(()),
-                      meaninertia.astype(dt).reshape(())])[:, None]
+                      meaninertia.astype(dt).reshape(()),
+                      jnp.zeros((), dt),
+                      impratio.astype(dt).reshape(())])[:, None]
 
-  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp)
+  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp, ell)
   if hb is None:
     hb = jnp.zeros((nv,), dt)
-  kernel = functools.partial(_newton_kernel, cfg)
   vm = pltpu.VMEM
   lane2 = lambda a: pl.BlockSpec((a, LANES), lambda i: (0, i),
                                  memory_space=vm)
   lane3 = lambda a, b: pl.BlockSpec((a, b, LANES), lambda i: (0, 0, i),
                                     memory_space=vm)
+  in_specs = [
+      pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=vm),
+      lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj), lane2(nj),
+      lane2(nv), lane2(nv),
+      pl.BlockSpec((nv, 1), lambda i: (0, 0), memory_space=vm),
+  ]
+  inputs = [params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
+            bl(efc_aref), bl(efc_fl), bl(qfrc_smooth), bl(warmstart),
+            hb.astype(dt)[:, None]]
+  if ell is None:
+    kernel = functools.partial(_newton_kernel, cfg)
+  else:
+    _, S, C = ell
+    kernel = functools.partial(_newton_ell_kernel, cfg)
+    in_specs += [lane3(C, 5), lane2(C)]
+    inputs += [bl(con_friction.astype(dt)), bl(con_dim.astype(dt))]
   outs = pl.pallas_call(
       kernel,
       grid=(wpad // LANES,),
       interpret=interpret,
-      in_specs=[
-          pl.BlockSpec((2, 1), lambda i: (0, 0), memory_space=vm),
-          lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj), lane2(nj),
-          lane2(nv), lane2(nv),
-          pl.BlockSpec((nv, 1), lambda i: (0, 0), memory_space=vm),
-      ],
+      in_specs=in_specs,
       out_specs=[lane2(nv), lane2(nv), lane2(nj),
                  pl.BlockSpec((1, LANES), lambda i: (0, i),
                               memory_space=vm),
@@ -358,9 +580,7 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
                       pltpu.VMEM((nv, LANES), jnp.float32),
                       pltpu.VMEM((1, LANES), jnp.float32),
                       pltpu.VMEM((1, LANES), jnp.float32)],
-  )(params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
-    bl(efc_aref), bl(efc_fl), bl(qfrc_smooth), bl(warmstart),
-    hb.astype(dt)[:, None])
+  )(*inputs)
   t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
   qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = outs
   return (t2(qacc), t2(qfc), t2(force), t2(niter)[:, 0], t2(qacc_smooth),
@@ -538,11 +758,26 @@ def _glue_static(m):
 
 def _glue_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
                  qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref,
-                 qacc_ref, qfc_ref, force_ref, niter_ref, qaccs_ref,
-                 qld_ref, qacce_ref, afrc_ref, qfa_ref, qfsp_ref,
-                 qfdp_ref, qfp_ref, qfs_ref, qpos_out_ref, qvel_out_ref,
-                 h_scr, jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
-                 done_scr):
+                 *refs):
+  _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+             qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, None, *refs)
+
+
+def _glue_ell_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref,
+                     fl_ref, qpos_ref, qvel_ref, ctrl_ref, qfx_ref,
+                     ws_ref, fr_ref, dim_ref, *refs):
+  _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+             qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref,
+             (fr_ref[...], dim_ref[...]), *refs)
+
+
+def _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+               qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, con,
+               qacc_ref, qfc_ref, force_ref, niter_ref, qaccs_ref,
+               qld_ref, qacce_ref, afrc_ref, qfa_ref, qfsp_ref,
+               qfdp_ref, qfp_ref, qfs_ref, qpos_out_ref, qvel_out_ref,
+               h_scr, jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
+               done_scr):
   """Preamble: actuation + passive + qfrc_smooth; core: Newton solve
   (+ qM factor, qacc_smooth, Euler-damped re-solve); tail: semi-implicit
   Euler advance of qpos/qvel."""
@@ -643,7 +878,7 @@ def _glue_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
 
   # ---- Newton solve + integration-diagonal re-solve ----
   _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
-               qfs, ws_ref[...], hb, qacc_ref, qfc_ref, force_ref,
+               qfs, ws_ref[...], hb, con, qacc_ref, qfc_ref, force_ref,
                niter_ref, qaccs_ref, qld_ref, qacce_ref, h_scr, jd_scr,
                ma_scr, jaref_scr, search_scr, cost_scr, done_scr)
 
@@ -669,11 +904,13 @@ _GLUE_CACHE: dict = {}
 
 
 def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
-                     mode: int):
+                     mode: int, ell=None):
   """Factory for the folded back-half kernel, memoized per Model id
   (built from numpy statics only — safe inside jit traces). mode:
-  0 = plain Euler, 1 = Euler implicit joint damping, 2 = implicitfast."""
-  key = (id(m), nj, ne, nf, use_ws, mode)
+  0 = plain Euler, 1 = Euler implicit joint damping, 2 = implicitfast.
+  ell = (base, S, C) static contact-block layout for the elliptic
+  cone (the run callable then requires con_friction/con_dim/impratio)."""
+  key = (id(m), nj, ne, nf, use_ws, mode, ell)
   hit = _GLUE_CACHE.get(key)
   if hit is not None and hit[0] is m:
     return hit[1]
@@ -682,13 +919,15 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
   nv, nq, nu = gs['nv'], gs['nq'], gs['nu']
   iterations = int(m.opt.iterations)
   ls_k = 10
-  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, mode > 0)
-  kernel = functools.partial(_glue_kernel, cfg, gs)
+  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, mode > 0, ell)
+  kernel = functools.partial(
+      _glue_ell_kernel if ell is not None else _glue_kernel, cfg, gs)
   num = max(nu, 1)
 
   @jax.jit
   def run(qm, efc_j, efc_d, efc_aref, efc_fl, qpos, qvel, ctrl, qfx,
-          warmstart, tolerance, meaninertia, timestep):
+          warmstart, tolerance, meaninertia, timestep,
+          con_friction=None, con_dim=None, impratio=None):
     W = qm.shape[0]
     wpad = -(-W // LANES) * LANES
     dt = qm.dtype
@@ -704,9 +943,12 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
       eye = jnp.eye(nv, dtype=dt)[:, :, None]
       pad_mask = jnp.arange(wpad) >= W
       qm_t = jnp.where(pad_mask[None, None, :], eye, qm_t)
+    ipr = (jnp.ones((), dt) if impratio is None else
+           impratio.astype(dt).reshape(()))
     params = jnp.stack([tolerance.astype(dt).reshape(()),
                         meaninertia.astype(dt).reshape(()),
-                        timestep.astype(dt).reshape(())])[:, None]
+                        timestep.astype(dt).reshape(()),
+                        ipr])[:, None]
     if ctrl is None or ctrl.shape[-1] == 0:
       ctrl = jnp.zeros((W, num), dt)
     vm = pltpu.VMEM
@@ -717,16 +959,24 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
     import os as _os
     interp = (jax.default_backend() != 'tpu' and
               _os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
+    in_specs = [
+        pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=vm),
+        lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj),
+        lane2(nj), lane2(nq), lane2(nv), lane2(num), lane2(nv),
+        lane2(nv),
+    ]
+    inputs = [params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
+              bl(efc_aref), bl(efc_fl), bl(qpos), bl(qvel), bl(ctrl),
+              bl(qfx), bl(warmstart)]
+    if ell is not None:
+      _, _S, _C = ell
+      in_specs += [lane3(_C, 5), lane2(_C)]
+      inputs += [bl(con_friction.astype(dt)), bl(con_dim.astype(dt))]
     outs = pl.pallas_call(
         kernel,
         grid=(wpad // LANES,),
         interpret=interp,
-        in_specs=[
-            pl.BlockSpec((3, 1), lambda i: (0, 0), memory_space=vm),
-            lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj),
-            lane2(nj), lane2(nq), lane2(nv), lane2(num), lane2(nv),
-            lane2(nv),
-        ],
+        in_specs=in_specs,
         out_specs=[lane2(nv), lane2(nv), lane2(nj),
                    pl.BlockSpec((1, LANES), lambda i: (0, i),
                                 memory_space=vm),
@@ -757,9 +1007,7 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
                         pltpu.VMEM((nv, LANES), jnp.float32),
                         pltpu.VMEM((1, LANES), jnp.float32),
                         pltpu.VMEM((1, LANES), jnp.float32)],
-    )(params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
-      bl(efc_aref), bl(efc_fl), bl(qpos), bl(qvel), bl(ctrl), bl(qfx),
-      bl(warmstart))
+    )(*inputs)
     t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
     (qacc, qfc, force, niter, qaccs, qld, qacce, afrc, qfa, qfsp, qfdp,
      qfp, qfs, qpos_out, qvel_out) = outs

