@@ -454,79 +454,30 @@ def _mega_gates(m: Model):
   return use_mega, force and not on_tpu
 
 
-def _glue_gates(m: Model, d: Data) -> bool:
-  """True when step_batched runs the fully-folded back half: actuation +
-  passive + qfrc_smooth + Newton solve + Euler advance in ONE Pallas
-  kernel (pallas/solver_kernels._glue_kernel). MJWT_GLUE=0 falls back."""
-  import os as _os
-  if _os.environ.get('MJWT_GLUE', '1') == '0':
-    return False
-  if not (_mega_gates(m)[0] and solver_mod.uses_fused_kernel(m, d)):
-    return False
-  from .pallas import solver_kernels
-  return solver_kernels.glue_supported(m)
-
-
-def _glue_stages(m: Model, d: Data) -> list:
-  """Stage list for the glue-folded STEP (integration included).
-  Ordering: acc-stage sensors read only solver outputs (qacc, cacc,
-  actuator_force, efc_force — never qpos/qvel), so the in-kernel advance
-  can land before sensor_acc; models with rne_postconstraint sensors
-  (which read qvel) keep the XLA advance after sensor_acc instead."""
-  import numpy as np
-  vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
-  use_mega, interp = _mega_gates(m)
-  assert use_mega
-  stages = []
-  add = lambda name, fn: stages.append((name, fn))
-  add('smooth_mega[pallas]',
-      lambda dd: _smooth_mega_batched(m, dd, interpret=interp))
-  if m.ncam or m.nlight:
-    add('camlight', vm(smooth.camlight))
-  from .pallas import contact_kernels
-  nconmax = d.contact.dist.shape[-1]
-  if (m.opt.run_collision_detection and nconmax > 0 and
-      contact_kernels.supports(m, d)):
-    kernel, meta = contact_kernels.make_contact_kernel(m, nconmax)
-    add('contact_efc_mega[pallas]',
-        lambda dd: contact_kernels.contact_efc(m, dd, kernel, meta,
-                                               interpret=interp))
-  else:
-    if m.opt.run_collision_detection:
-      add('collision', vm(collision_driver.collision))
-    add('make_constraint', vm(constraint.make_constraint))
-
-  if m.nu:
-    # actuator length/velocity via static joint gathers (Data parity +
-    # actuatorpos/vel sensors); moment is constant for scalar-joint
-    # transmission and prefilled by make_data
-    jids = np.asarray([m.actuator_trnid[u][0] for u in range(m.nu)])
-    qadr = np.asarray(m.jnt_qposadr)[jids]
-    dadr = np.asarray(m.jnt_dofadr)[jids]
-
-    def act_len_vel(dd):
-      gear0 = m.actuator_gear[:, 0][None]
-      return dd.replace(actuator_length=dd.qpos[:, qadr] * gear0,
-                        actuator_velocity=dd.qvel[:, dadr] * gear0)
-    add('act_len_vel', act_len_vel)
-  add('sensor_pos', vm(sensor_mod.sensor_pos))
-  if m.opt.enableflags & 2:  # EnableBit.ENERGY
-    add('energy_pos', vm(sensor_mod.energy_pos))
-  add('sensor_vel', vm(sensor_mod.sensor_vel))
-  if m.opt.enableflags & 2:
-    add('energy_vel', vm(sensor_mod.energy_vel))
-
-  needs_preadv = bool(m.nsensor) and any(
+def _needs_preadv(m: Model) -> bool:
+  """True if any sensor reads pre-advance qvel (rne_postconstraint)."""
+  return bool(m.nsensor) and any(
       m.sensor_type[s] in sensor_mod._RNE_POST_SENSORS
       for s in range(m.nsensor))
 
+
+def _glue_mode(m: Model) -> int:
+  """Integration-diagonal mode baked into the glue kernel: 0 plain
+  euler, 1 euler+damping refactor, 2 implicitfast."""
   if m.opt.integrator == IntegratorType.IMPLICITFAST:
-    mode = 2
-  elif (m.has_damping and
-        not (m.opt.disableflags & DisableBit.EULERDAMP)):
-    mode = 1
-  else:
-    mode = 0
+    return 2
+  if (m.has_damping and
+      not (m.opt.disableflags & DisableBit.EULERDAMP)):
+    return 1
+  return 0
+
+
+def _make_solve_glue(m: Model, d: Data, needs_preadv: bool):
+  """The glue-folded back half as a standalone stage fn: actuation +
+  passive + whole Newton solve + (optionally) advance, one Pallas
+  kernel. Factored out of _glue_stages so _glue_gates can probe-compile
+  it before committing the dispatch (round-3 aloha_pot crash)."""
+  mode = _glue_mode(m)
 
   def solve_glue(dd):
     from . import io as io_mod
@@ -559,7 +510,108 @@ def _glue_stages(m: Model, d: Data) -> list:
                       time=dd.time + m.opt.timestep,
                       qacc_warmstart=dd.qacc)
     return dd
-  add('solve_glue[pallas]', solve_glue)
+  return solve_glue
+
+
+def _glue_gates(m: Model, d: Data) -> bool:
+  """True when step_batched runs the fully-folded back half: actuation +
+  passive + qfrc_smooth + Newton solve + Euler advance in ONE Pallas
+  kernel (pallas/solver_kernels._glue_kernel). MJWT_GLUE=0 falls back.
+  On TPU the kernel is probe-compiled first: a Mosaic rejection logs a
+  warning and falls back instead of crashing the user's jit."""
+  import os as _os
+  if _os.environ.get('MJWT_GLUE', '1') == '0':
+    return False
+  if not (_mega_ok(m, d) and solver_mod.uses_fused_kernel(m, d)):
+    return False
+  from .pallas import solver_kernels
+  if not solver_kernels.glue_supported(m):
+    return False
+  from .pallas import probe
+  fn = _make_solve_glue(m, d, _needs_preadv(m))
+  key = (f'glue:{probe.model_sig(m)}:w{d.qpos.shape[0]}'
+         f'nc{d.contact.dist.shape[-1]}')
+  return probe.probe_stage(key, fn, d)
+
+
+def _mega_ok(m: Model, d: Data) -> bool:
+  """Static mega gate + Mosaic probe of the smooth megakernel."""
+  use_mega, interp = _mega_gates(m)
+  if not use_mega or interp:
+    return use_mega
+  from .pallas import probe
+  key = f'smooth_mega:{probe.model_sig(m)}:w{d.qpos.shape[0]}'
+  return probe.probe_stage(
+      key, lambda dd: _smooth_mega_batched(m, dd), d)
+
+
+def _contact_mega_ok(m: Model, d: Data, kernel, meta,
+                     interp: bool) -> bool:
+  """Mosaic probe of the fused collision+constraint megakernel."""
+  if interp:
+    return True
+  from .pallas import contact_kernels, probe
+  key = (f'contact_efc:{probe.model_sig(m)}'
+         f':nc{d.contact.dist.shape[-1]}:w{d.qpos.shape[0]}')
+  return probe.probe_stage(
+      key,
+      lambda dd: contact_kernels.contact_efc(m, dd, kernel, meta), d)
+
+
+def _glue_stages(m: Model, d: Data) -> list:
+  """Stage list for the glue-folded STEP (integration included).
+  Ordering: acc-stage sensors read only solver outputs (qacc, cacc,
+  actuator_force, efc_force — never qpos/qvel), so the in-kernel advance
+  can land before sensor_acc; models with rne_postconstraint sensors
+  (which read qvel) keep the XLA advance after sensor_acc instead."""
+  import numpy as np
+  vm = lambda fn, **kw: jax.vmap(lambda dd: fn(m, dd, **kw))
+  use_mega, interp = _mega_gates(m)
+  assert use_mega
+  stages = []
+  add = lambda name, fn: stages.append((name, fn))
+  add('smooth_mega[pallas]',
+      lambda dd: _smooth_mega_batched(m, dd, interpret=interp))
+  if m.ncam or m.nlight:
+    add('camlight', vm(smooth.camlight))
+  from .pallas import contact_kernels
+  nconmax = d.contact.dist.shape[-1]
+  use_cmega = (m.opt.run_collision_detection and nconmax > 0 and
+               contact_kernels.supports(m, d))
+  if use_cmega:
+    kernel, meta = contact_kernels.make_contact_kernel(m, nconmax)
+    use_cmega = _contact_mega_ok(m, d, kernel, meta, interp)
+  if use_cmega:
+    add('contact_efc_mega[pallas]',
+        lambda dd: contact_kernels.contact_efc(m, dd, kernel, meta,
+                                               interpret=interp))
+  else:
+    if m.opt.run_collision_detection:
+      add('collision', vm(collision_driver.collision))
+    add('make_constraint', vm(constraint.make_constraint))
+
+  if m.nu:
+    # actuator length/velocity via static joint gathers (Data parity +
+    # actuatorpos/vel sensors); moment is constant for scalar-joint
+    # transmission and prefilled by make_data
+    jids = np.asarray([m.actuator_trnid[u][0] for u in range(m.nu)])
+    qadr = np.asarray(m.jnt_qposadr)[jids]
+    dadr = np.asarray(m.jnt_dofadr)[jids]
+
+    def act_len_vel(dd):
+      gear0 = m.actuator_gear[:, 0][None]
+      return dd.replace(actuator_length=dd.qpos[:, qadr] * gear0,
+                        actuator_velocity=dd.qvel[:, dadr] * gear0)
+    add('act_len_vel', act_len_vel)
+  add('sensor_pos', vm(sensor_mod.sensor_pos))
+  if m.opt.enableflags & 2:  # EnableBit.ENERGY
+    add('energy_pos', vm(sensor_mod.energy_pos))
+  add('sensor_vel', vm(sensor_mod.sensor_vel))
+  if m.opt.enableflags & 2:
+    add('energy_vel', vm(sensor_mod.energy_vel))
+
+  needs_preadv = _needs_preadv(m)
+  add('solve_glue[pallas]', _make_solve_glue(m, d, needs_preadv))
   add('sensor_acc', vm(sensor_mod.sensor_acc))
   if needs_preadv:
     # rne_postconstraint sensors read pre-advance qvel, so integration
@@ -587,6 +639,8 @@ def batched_stages(m: Model, d: Data, for_step: bool = False) -> list:
   use_mega, interp = _mega_gates(m)
   stages = []
   add = lambda name, fn: stages.append((name, fn))
+  if use_mega and not interp:
+    use_mega = _mega_ok(m, d)
   if use_mega:
     add('smooth_mega[pallas]',
         lambda dd: _smooth_mega_batched(m, dd, interpret=interp))
@@ -597,10 +651,13 @@ def batched_stages(m: Model, d: Data, for_step: bool = False) -> list:
       add('tendon_armature', vm(smooth.tendon_armature))
     from .pallas import contact_kernels
     nconmax = d.contact.dist.shape[-1]
-    if (m.opt.run_collision_detection and nconmax > 0 and
-        contact_kernels.supports(m, d)):
-      # collision + constraint assembly fused into one Pallas kernel
+    use_cmega = (m.opt.run_collision_detection and nconmax > 0 and
+                 contact_kernels.supports(m, d))
+    if use_cmega:
       kernel, meta = contact_kernels.make_contact_kernel(m, nconmax)
+      use_cmega = _contact_mega_ok(m, d, kernel, meta, interp)
+    if use_cmega:
+      # collision + constraint assembly fused into one Pallas kernel
       add('contact_efc_mega[pallas]',
           lambda dd: contact_kernels.contact_efc(m, dd, kernel, meta,
                                                  interpret=interp))

@@ -286,7 +286,9 @@ def _capsule_box_batch(pairs, gx_ref, gm_ref, geom_size_np):
     return jnp.concatenate(
         [jnp.broadcast_to(r, (n, L)) for r in rows], axis=0)
 
-  t_pat = jax.lax.broadcasted_iota(dt, (T, L), 0) * (1.0 / 32.0)
+  # Mosaic requires integer iota (tpu.iota); build int32 then cast.
+  t_pat = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0).astype(dt) * (
+      1.0 / 32.0)
   t_all = jnp.concatenate([t_pat] * P, axis=0)          # (T*P, L)
   ax = rep([a[0:1] for a in a3], T)
   ay = rep([a[1:2] for a in a3], T)
@@ -317,7 +319,8 @@ def _capsule_box_batch(pairs, gx_ref, gm_ref, geom_size_np):
   # shrinking-window refinement, both endpoints of all pairs batched:
   # rows are (9 offsets) x (2P candidates)
   NC = 2 * P
-  offs = (jax.lax.broadcasted_iota(dt, (9, L), 0) - 4.0) * 0.25
+  offs = (jax.lax.broadcasted_iota(jnp.int32, (9, L), 0).astype(dt)
+          - 4.0) * 0.25
   offs_all = jnp.concatenate([offs] * NC, axis=0)        # (9*NC, L)
   ax9 = rep([a3[p // 2][0:1] for p in range(NC)], 9)
   ay9 = rep([a3[p // 2][1:2] for p in range(NC)], 9)
