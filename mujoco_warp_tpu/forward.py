@@ -346,9 +346,14 @@ def euler(m: Model, d: Data) -> Data:
   qacc = d.qacc
   # implicit damping: (M + h diag(B)) qacc' = qfrc_smooth + qfrc_constraint
   if m.has_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
-    mh = d.qM + jnp.diag(m.opt.timestep * m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = linalg.spd_solve(mh, qfrc)
+    if m.qm_meta is not None:
+      from . import sparse as sparse_mod
+      qacc, _ = sparse_mod.factor_solve(
+          m.qm_meta, d.qM, qfrc, diag=m.opt.timestep * m.dof_damping)
+    else:
+      mh = d.qM + jnp.diag(m.opt.timestep * m.dof_damping)
+      qacc = linalg.spd_solve(mh, qfrc)
   return _advance(m, d, d.act_dot, qacc)
 
 

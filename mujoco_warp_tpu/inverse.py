@@ -75,7 +75,7 @@ def inverse(m: Model, d: Data) -> Data:
     d = d.replace(qacc=discrete_acc(m, d))
 
   d = inv_constraint(m, d)
-  ma = jnp.einsum('...ij,...j->...i', d.qM, d.qacc, **_EINSUM)
+  ma = support.mul_m(m, d, d.qacc)
   qfrc_inverse = (ma + d.qfrc_bias - d.qfrc_passive - d.qfrc_constraint)
   d = sensor_mod.sensor_acc(m, d)
   return d.replace(qfrc_inverse=qfrc_inverse, qacc=qacc)

@@ -725,6 +725,33 @@ def put_model(mjm: mujoco.MjModel) -> Model:
 
   dof_ancestor_rows, ancestor_mask = _dof_ancestry(mjm.dof_parentid)
 
+  # tree-sparse qM above the dense-viability cap (flex/cloth scale;
+  # reference CSR qM path, io.py:575-635 — the reference itself rejects
+  # dense above nv=60, io.py:142-144). Packed (nM,) storage +
+  # level-scheduled LDL; see sparse.py.
+  import logging as _logging
+  import os as _os
+  qm_meta = None
+  if mjm.nv > int(_os.environ.get('MJWT_SPARSE_NV', '128')):
+    # eligible only when no consumer needs a dense qM: the Newton
+    # solver assembles a dense Hessian, implicitfast a dense qDeriv,
+    # tendon armature a dense rank-update. Ineligible models keep the
+    # dense path (works, just O(nv^2) memory — the reference makes the
+    # same dense/sparse split on jacobian= and solver, io.py:142-144).
+    eligible = (mjm.opt.solver == mujoco.mjtSolver.mjSOL_CG and
+                mjm.opt.integrator !=
+                mujoco.mjtIntegrator.mjINT_IMPLICITFAST and
+                not (mjm.ntendon and np.any(mjm.tendon_armature)))
+    if eligible:
+      from . import sparse as sparse_mod
+      qm_meta = sparse_mod.QMMeta(mjm.dof_parentid)
+    else:
+      _logging.getLogger(__name__).warning(
+          'nv=%d exceeds MJWT_SPARSE_NV but the model is not eligible '
+          'for sparse qM (needs solver="CG", non-implicitfast '
+          'integrator, no tendon armature); using dense (nv, nv) '
+          'storage', mjm.nv)
+
   # subtree mask: c in subtree(b) iff b is on c's parent chain (or c == b)
   nbody = mjm.nbody
   subtree_mask = np.zeros((nbody, nbody), dtype=np.float32)
@@ -1004,6 +1031,7 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       flex_meta=flex_meta,
       tactile_meta=tactile_meta,
       sap_meta=sap_meta,
+      qm_meta=qm_meta,
       **{k: (_jp(v, dtype=jnp.int32) if v.dtype.kind == 'i' else _jp(v))
          for k, v in {**flex_leaves, **tactile_leaves,
                       **sap_leaves}.items()},
@@ -1213,7 +1241,8 @@ def make_data(m: Model, nconmax: int | None = None,
       crb=z(nbody, 10), cvel=z(nbody, 6), cdof_dot=z(nv, 6),
       cacc=z(nbody, 6), cfrc_int=z(nbody, 6), cfrc_ext=z(nbody, 6),
       subtree_linvel=z(nbody, 3), subtree_angmom=z(nbody, 3),
-      qM=z(nv, nv), qLD=z(nv, nv),
+      qM=(z(m.qm_meta.nM) if m.qm_meta is not None else z(nv, nv)),
+      qLD=(z(m.qm_meta.nM) if m.qm_meta is not None else z(nv, nv)),
       actuator_length=z(nu), actuator_moment=_moment0(m),
       actuator_velocity=z(nu), actuator_force=z(nu), act_dot=z(na),
       ten_length=z(m.ntendon), ten_J=z(m.ntendon, nv),
@@ -1482,9 +1511,16 @@ def set_const(m: Model) -> Model:
   d0 = smooth.camlight(m, d0)
   d0 = smooth.tendon(m, d0)
   d0 = smooth.crb(m, d0)
-  d0 = d0.replace(qLD=jnp.linalg.cholesky(d0.qM))
+  if m.qm_meta is not None:
+    # init-time only: densify the packed values for the invweight
+    # linear algebra below (the runtime never materializes this)
+    from . import sparse as sparse_mod
+    qM = sparse_mod.to_dense(m.qm_meta, d0.qM)
+    d0 = d0.replace(qLD=sparse_mod.factor(m.qm_meta, d0.qM))
+  else:
+    d0 = d0.replace(qLD=jnp.linalg.cholesky(d0.qM))
+    qM = d0.qM
   d0 = smooth.transmission(m, d0)
-  qM = d0.qM
   dof_M0 = jnp.diagonal(qM)
   meaninertia = jnp.mean(dof_M0)
 

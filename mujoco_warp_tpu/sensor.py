@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from . import math
 from . import smooth
+from . import support
 from .types import Data, DisableBit, Model, ObjType, SensorType
 
 # sensor types by stage (mjSTAGE_POS=1, VEL=2, ACC=3 via sensor_needstage)
@@ -715,6 +716,5 @@ def energy_pos(m: Model, d: Data) -> Data:
 
 def energy_vel(m: Model, d: Data) -> Data:
   """Kinetic energy 0.5 qvel' M qvel (reference sensor.py:2922)."""
-  ke = 0.5 * jnp.dot(d.qvel, jnp.einsum(
-      'ij,j->i', d.qM, d.qvel, precision=jax.lax.Precision.HIGHEST))
+  ke = 0.5 * jnp.dot(d.qvel, support.mul_m(m, d, d.qvel))
   return d.replace(energy=d.energy.at[1].set(ke))

@@ -318,6 +318,11 @@ def crb(m: Model, d: Data) -> Data:
 
   crb_dof = crb_[list(m.dof_bodyid), :]             # (nv, 10)
   buf = jax.vmap(math.inert_mul)(crb_dof, d.cdof)   # (nv, 6)
+  if m.qm_meta is not None:
+    # packed tree-sparse values: O(nnz), never materializes (nv, nv)
+    from . import sparse as sparse_mod
+    vals = sparse_mod.qm_from_crb(m.qm_meta, d.cdof, buf, m.dof_armature)
+    return d.replace(crb=crb_, qM=vals)
   qm_full = jnp.einsum('ik,jk->ij', buf, d.cdof, **_EINSUM)
   # mask[i, j] = dof j ancestor-or-self of i → strictly lower + diag
   qm = qm_full * m.dof_ancestor_mask
@@ -389,13 +394,20 @@ def tendon_bias(m: Model, d: Data) -> Data:
 
 
 def factor_m(m: Model, d: Data) -> Data:
-  """Dense Cholesky of qM (reference uses tiled wp.tile_cholesky /
-  level-scheduled sparse LDL, smooth.py:1017-1104)."""
+  """Factor qM: dense Cholesky, or level-scheduled sparse LDL in
+  sparse-qM mode (reference tiled wp.tile_cholesky / sparse
+  smooth.py:1017-1104)."""
+  if m.qm_meta is not None:
+    from . import sparse as sparse_mod
+    return d.replace(qLD=sparse_mod.factor(m.qm_meta, d.qM))
   return d.replace(qLD=linalg.cholesky(d.qM))
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
-  """qM^-1 x via the cached Cholesky factor (reference smooth.py:2848)."""
+  """qM^-1 x via the cached factor (reference smooth.py:2848)."""
+  if m.qm_meta is not None:
+    from . import sparse as sparse_mod
+    return sparse_mod.solve(m.qm_meta, d.qLD, x)
   return linalg.cho_solve(d.qLD, x)
 
 

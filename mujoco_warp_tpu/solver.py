@@ -75,6 +75,46 @@ def _tree_ldl_ok(m: Model, nv: int) -> bool:
   return nv > 32 and len(m.dof_parentid) == nv
 
 
+def _tree_ldl_probed(m: Model, w: int, nv: int, dtype) -> bool:
+  """Mosaic probe for the tree-LDL factor+solve kernel PAIR at this
+  (W, nv). Both m_solve_factor and m_cho_solve gate on this one key so
+  the packed-LD factor layout and its consumer always agree. (Round-4
+  finding: the kernel compiles at grid=1 but the Mosaic compile helper
+  dies at grid>=2 for nv=81/three_humanoids — fallback, don't crash.)"""
+  import functools as _ft
+
+  from .pallas import batch_linalg, probe
+  key = (f'tree_ldl:nv{nv}:w{w}:'
+         f'{hash(m.dof_parentid) & 0xffffffffffff:x}')
+
+  def build():
+    a = jax.ShapeDtypeStruct((w, nv, nv), dtype)
+    b = jax.ShapeDtypeStruct((w, nv), dtype)
+    jax.jit(_ft.partial(
+        batch_linalg.tree_ldl_solve_batched, parentid=m.dof_parentid,
+        return_factor=True)).lower(a, b).compile()
+    jax.jit(_ft.partial(
+        batch_linalg.tree_solve_from_factor_batched,
+        parentid=m.dof_parentid)).lower(a, b).compile()
+  return probe.probe(key, build)
+
+
+def _dense_chol_probed(w: int, nv: int, dtype) -> bool:
+  """Mosaic probe for the dense lane-Cholesky kernel pair."""
+  import functools as _ft
+
+  from .pallas import batch_linalg, probe
+  key = f'dense_chol:nv{nv}:w{w}'
+
+  def build():
+    a = jax.ShapeDtypeStruct((w, nv, nv), dtype)
+    b = jax.ShapeDtypeStruct((w, nv), dtype)
+    jax.jit(_ft.partial(batch_linalg.spd_solve_batched,
+                        return_factor=True)).lower(a, b).compile()
+    jax.jit(batch_linalg.cho_solve_batched).lower(a, b).compile()
+  return probe.probe(key, build)
+
+
 def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
   """SPD solve, dispatched: Pallas lane-batched kernel on TPU for
   batched inputs, unrolled scalar version otherwise (LAPACK-style
@@ -82,7 +122,9 @@ def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
 
   NOTE: for M-structured matrices prefer m_solve_* (tree-sparse LDL);
   this entry serves general SPD systems (Newton Hessians)."""
-  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 96:
+  if (a.ndim == 3 and jax.default_backend() == 'tpu' and
+      a.shape[-1] <= 96 and
+      _dense_chol_probed(a.shape[0], a.shape[-1], a.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b)
   if a.shape[-1] > 32:
@@ -96,10 +138,15 @@ def m_solve_factor(m: Model, a: jax.Array, b: jax.Array,
                    diag: jax.Array | None = None):
   """Factor + solve for MASS-MATRIX-structured systems (A = qM [+ diag],
   kinematic-tree sparsity). Returns (x, factor); the factor layout is
-  the packed tree LD when the tree kernel dispatched (pair with
-  m_cho_solve, never batch_linalg.cho_solve_batched)."""
+  the packed tree LD when the tree kernel dispatched and the packed
+  sparse LD when the model is in sparse-qM mode (pair with m_cho_solve,
+  never batch_linalg.cho_solve_batched)."""
+  if m.qm_meta is not None:                 # packed (..., nM) values
+    from . import sparse as sparse_mod
+    return sparse_mod.factor_solve(m.qm_meta, a, b, diag=diag)
   pallas, interp = _pallas_ok()
-  if a.ndim == 3 and pallas and _tree_ldl_ok(m, a.shape[-1]):
+  if (a.ndim == 3 and pallas and _tree_ldl_ok(m, a.shape[-1]) and
+      _tree_ldl_probed(m, a.shape[0], a.shape[-1], a.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.tree_ldl_solve_batched(
         a, b, m.dof_parentid, diag=diag, return_factor=True,
@@ -112,8 +159,12 @@ def m_solve_factor(m: Model, a: jax.Array, b: jax.Array,
 
 def m_cho_solve(m: Model, fac: jax.Array, b: jax.Array) -> jax.Array:
   """Solve from the factor produced by m_solve_factor."""
+  if m.qm_meta is not None:
+    from . import sparse as sparse_mod
+    return sparse_mod.solve(m.qm_meta, fac, b)
   pallas, interp = _pallas_ok()
-  if fac.ndim == 3 and pallas and _tree_ldl_ok(m, fac.shape[-1]):
+  if (fac.ndim == 3 and pallas and _tree_ldl_ok(m, fac.shape[-1]) and
+      _tree_ldl_probed(m, fac.shape[0], fac.shape[-1], fac.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.tree_solve_from_factor_batched(
         fac, b, m.dof_parentid, interpret=interp)
@@ -122,7 +173,9 @@ def m_cho_solve(m: Model, fac: jax.Array, b: jax.Array) -> jax.Array:
 
 def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
   """Batched SPD factor + solve; returns (x, L)."""
-  if a.ndim == 3 and jax.default_backend() == 'tpu' and a.shape[-1] <= 96:
+  if (a.ndim == 3 and jax.default_backend() == 'tpu' and
+      a.shape[-1] <= 96 and
+      _dense_chol_probed(a.shape[0], a.shape[-1], a.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b, return_factor=True)
   if a.shape[-1] > 32:
@@ -137,7 +190,9 @@ def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
 
 
 def cho_solve(m: Model, l: jax.Array, b: jax.Array) -> jax.Array:
-  if l.ndim == 3 and jax.default_backend() == 'tpu' and l.shape[-1] <= 96:
+  if (l.ndim == 3 and jax.default_backend() == 'tpu' and
+      l.shape[-1] <= 96 and
+      _dense_chol_probed(l.shape[0], l.shape[-1], l.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.cho_solve_batched(l, b)
   if l.shape[-1] > 32:
@@ -145,6 +200,14 @@ def cho_solve(m: Model, l: jax.Array, b: jax.Array) -> jax.Array:
   if l.ndim == 3:
     return jax.vmap(linalg.cho_solve)(l, b)
   return linalg.cho_solve(l, b)
+
+
+def _mul_qm(m: Model, d: Data, x: jax.Array) -> jax.Array:
+  """qM @ x, dense or packed-sparse depending on the model mode."""
+  if m.qm_meta is not None:
+    from . import sparse as sparse_mod
+    return sparse_mod.mul_m(m.qm_meta, d.qM, x)
+  return jnp.einsum('...ij,...j->...i', d.qM, x, **_EINSUM)
 
 
 def _rescale(m: Model, value):
@@ -347,7 +410,7 @@ def _linesearch(m: Model, d: Data, ctx: _Ctx):
   """Exact convex piecewise-quadratic linesearch along ctx.search.
   All scalars are (...,) shaped (one per world)."""
   p = ctx.search
-  mv = jnp.einsum('...ij,...j->...i', d.qM, p, **_EINSUM)
+  mv = _mul_qm(m, d, p)
   jv = jnp.einsum('...jn,...n->...j', d.efc_J, p, **_EINSUM)
 
   # gauss quadratic: phi_g'(a) = g0 + a h0
@@ -539,6 +602,59 @@ def _iteration(m: Model, d: Data, ctx: _Ctx) -> _Ctx:
   return new_ctx
 
 
+def _fused_args(m: Model, d: Data):
+  """Argument assembly for solver_kernels.newton_solve_batched, shared
+  by the dispatch in solve() and the Mosaic compile probe so both see
+  the identical kernel specialization."""
+  import os as _os
+
+  from . import io as io_mod
+  from .types import IntegratorType
+  nconmax = d.contact.dist.shape[-1]
+  ne, nf, nl, stride, _ = io_mod.efc_layout(m, nconmax)
+  use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
+  euler_damp = (m.opt.integrator == IntegratorType.EULER and
+                m.has_damping and
+                not (m.opt.disableflags & DisableBit.EULERDAMP))
+  hb = (m.opt.timestep * m.dof_damping) if euler_damp else None
+  interp = (jax.default_backend() != 'tpu' and
+            _os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
+  ell = None
+  con_friction = con_dim = impratio = None
+  if m.opt.cone == ConeType.ELLIPTIC and nconmax > 0 and stride >= 2:
+    ell = (ne + nf + nl, stride, nconmax)
+    con_friction = d.contact.friction
+    con_dim = jnp.where(d.contact.geom[..., 0] >= 0,
+                        d.contact.dim, 0).astype(d.qpos.dtype)
+    impratio = m.opt.impratio
+  args = (d.qM, d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
+          d.qfrc_smooth, d.qacc_warmstart, m.opt.tolerance,
+          m.stat.meaninertia, hb, con_friction, con_dim, impratio)
+  static = dict(ne=ne, nf=nf, iterations=m.opt.iterations, use_ws=use_ws,
+                euler_damp=euler_damp, interpret=interp, ell=ell)
+  return args, static
+
+
+def _probe_fused(m: Model, d: Data) -> bool:
+  """AOT probe-compile the fused Newton kernel; False → XLA solver.
+  Round-3 lesson generalized: EVERY default-ON Pallas dispatch needs a
+  compile-failure fallback (the elliptic aloha_pot kernel dies in the
+  Mosaic backend even though interpret mode accepts it)."""
+  import functools as _ft
+
+  from .pallas import probe, solver_kernels
+  args, static = _fused_args(m, d)
+  nj = d.efc_J.shape[-2]
+  key = (f'fused_solve:{probe.model_sig(m)}:w{d.qpos.shape[0]}'
+         f':nj{nj}:nc{d.contact.dist.shape[-1]}')
+  shapes = probe.shapes_of(args)
+
+  def build():
+    fn = _ft.partial(solver_kernels.newton_solve_batched, **static)
+    jax.jit(fn).lower(*shapes).compile()
+  return probe.probe(key, build)
+
+
 def uses_fused_kernel(m: Model, d: Data) -> bool:
   """True when the batched solve dispatches to the single-kernel Pallas
   Newton solver (pallas/solver_kernels). The kernel also computes
@@ -546,7 +662,9 @@ def uses_fused_kernel(m: Model, d: Data) -> bool:
 
   Gated on MJWT_FUSED_SOLVER (default on — TPU-validated: parity vs the
   XLA solver at rel<=2e-5 with identical iteration counts, and 44->33ms
-  on the humanoid@8192 step; set 0 to fall back)."""
+  on the humanoid@8192 step; set 0 to fall back). On TPU the kernel is
+  probe-compiled first: a Mosaic rejection logs a warning and falls back
+  to the XLA solver instead of crashing the user's jit."""
   import os
   if os.environ.get('MJWT_FUSED_SOLVER', '1') == '0':
     return False
@@ -557,11 +675,12 @@ def uses_fused_kernel(m: Model, d: Data) -> bool:
   # linesearch serves the ls_parallel=False case too (same converged
   # optimum — phi is convex; MJWT_FUSED_SOLVER=0 restores the XLA
   # solver which honors the iterative-LS flag exactly)
-  return (backend_ok and d.qpos.ndim == 2 and
-          m.opt.solver == SolverType.NEWTON and
-          m.opt.cone in (ConeType.PYRAMIDAL, ConeType.ELLIPTIC) and
-          0 < m.nv <= 32 and njmax > 0 and m.opt.iterations > 0 and
-          not (m.opt.disableflags & DisableBit.CONSTRAINT))
+  ok = (backend_ok and d.qpos.ndim == 2 and
+        m.opt.solver == SolverType.NEWTON and
+        m.opt.cone in (ConeType.PYRAMIDAL, ConeType.ELLIPTIC) and
+        0 < m.nv <= 32 and njmax > 0 and m.opt.iterations > 0 and
+        not (m.opt.disableflags & DisableBit.CONSTRAINT))
+  return ok and _probe_fused(m, d)
 
 
 def solve(m: Model, d: Data) -> Data:
@@ -577,34 +696,10 @@ def solve(m: Model, d: Data) -> Data:
                      solver_niter=jnp.zeros(batch_shape, jnp.int32))
 
   if uses_fused_kernel(m, d):
-    from . import io as io_mod
     from .pallas import solver_kernels
-    from .types import IntegratorType
-    nconmax = d.contact.dist.shape[-1]
-    ne, nf, nl, stride, _ = io_mod.efc_layout(m, nconmax)
-    use_ws = not (m.opt.disableflags & DisableBit.WARMSTART)
-    euler_damp = (m.opt.integrator == IntegratorType.EULER and
-                  m.has_damping and
-                  not (m.opt.disableflags & DisableBit.EULERDAMP))
-    hb = (m.opt.timestep * m.dof_damping) if euler_damp else None
-    import os as _os
-    interp = (jax.default_backend() != 'tpu' and
-              _os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
-    ell = None
-    con_friction = con_dim = impratio = None
-    if m.opt.cone == ConeType.ELLIPTIC and nconmax > 0 and stride >= 2:
-      ell = (ne + nf + nl, stride, nconmax)
-      con_friction = d.contact.friction
-      con_dim = jnp.where(d.contact.geom[..., 0] >= 0,
-                          d.contact.dim, 0).astype(d.qpos.dtype)
-      impratio = m.opt.impratio
+    args, static = _fused_args(m, d)
     qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = (
-        solver_kernels.newton_solve_batched(
-            d.qM, d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
-            d.qfrc_smooth, d.qacc_warmstart, m.opt.tolerance,
-            m.stat.meaninertia, hb, con_friction, con_dim, impratio,
-            ne=ne, nf=nf, iterations=m.opt.iterations, use_ws=use_ws,
-            euler_damp=euler_damp, interpret=interp, ell=ell))
+        solver_kernels.newton_solve_batched(*args, **static))
     return d.replace(qacc=qacc, qfrc_constraint=qfc, efc_force=force,
                      solver_niter=niter, qacc_smooth=qacc_smooth,
                      qLD=qld, qacc_euler=qacc_euler)
@@ -614,7 +709,7 @@ def solve(m: Model, d: Data) -> Data:
   else:
     qacc = d.qacc_warmstart
 
-  ma = jnp.einsum('...ij,...j->...i', d.qM, qacc, **_EINSUM)
+  ma = _mul_qm(m, d, qacc)
   jaref = jnp.einsum('...jn,...n->...j', d.efc_J, qacc,
                      **_EINSUM) - d.efc_aref
   force, qfrc_constraint, cost_c, quad, cone_mid = _update_constraint(

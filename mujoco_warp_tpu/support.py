@@ -72,7 +72,12 @@ def set_state(m: Model, d: Data, state: jax.Array,
 
 
 def mul_m(m: Model, d: Data, vec: jax.Array) -> jax.Array:
-  """qM @ vec (reference support.py:133). Dense."""
+  """qM @ vec (reference support.py:133): dense einsum, or the packed
+  gather/scatter product in sparse-qM mode (reference gather-CSR
+  qM_mulm_*, support.py:68)."""
+  if m.qm_meta is not None:
+    from . import sparse as sparse_mod
+    return sparse_mod.mul_m(m.qm_meta, d.qM, vec)
   return jnp.einsum('ij,j->i', d.qM, vec, **_EINSUM)
 
 

@@ -370,6 +370,10 @@ _MODEL_META = (
     # reference io.py:349-354 + collision_driver.py:554 sap_broadphase):
     # () = NXN static pair list, else a collision_sap.SapMeta
     'sap_meta',
+    # tree-sparse qM storage (None = dense (nv, nv) qM/qLD):
+    # a sparse.QMMeta with the packed layout + level-scheduled LDL
+    # schedules (reference CSR qM + qLD_updates, io.py:575-635)
+    'qm_meta',
 )
 
 
@@ -644,6 +648,9 @@ class Model:
   sap_meta: object                  # static (in _MODEL_META)
   sap_pairs: jax.Array              # (npairs, 2) int32
   sap_pairid: jax.Array             # (npairs,) int32
+  # sparse mass matrix meta (None = dense mode); when set, Data.qM and
+  # Data.qLD are packed (nM,) value vectors (see sparse.py)
+  qm_meta: object                   # static (in _MODEL_META)
 
 
 # ---------------------------------------------------------------------------
