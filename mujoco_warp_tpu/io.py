@@ -499,6 +499,82 @@ def _sample_octree_grid(mjm: mujoco.MjModel, meshid: int,
   return grid, np.stack([center, half]).astype(np.float32)
 
 
+def _voxel_chunk_dist(p, tri):                             # (P, 3), (F, 3, 3)
+  a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+  ab, ac = b - a, c - a
+  ap = p[:, None, :] - a[None, :, :]                # (P, F, 3)
+  d1 = jnp.einsum('fi,pfi->pf', ab, ap)
+  d2 = jnp.einsum('fi,pfi->pf', ac, ap)
+  bp = p[:, None, :] - b[None, :, :]
+  d3 = jnp.einsum('fi,pfi->pf', ab, bp)
+  d4 = jnp.einsum('fi,pfi->pf', ac, bp)
+  cp = p[:, None, :] - c[None, :, :]
+  d5 = jnp.einsum('fi,pfi->pf', ab, cp)
+  d6 = jnp.einsum('fi,pfi->pf', ac, cp)
+  va = d3 * d6 - d5 * d4
+  vb = d5 * d2 - d1 * d6
+  vc = d1 * d4 - d3 * d2
+  denom = jnp.maximum(va + vb + vc, 1e-20)
+  v = jnp.clip(vb / denom, 0.0, 1.0)
+  w = jnp.clip(vc / denom, 0.0, 1.0)
+  # barycentric clamp fallback: project to edges/verts via clip chain
+  v = jnp.where((d1 <= 0) & (d2 <= 0), 0.0, v)
+  w = jnp.where((d1 <= 0) & (d2 <= 0), 0.0, w)
+  v = jnp.where((d3 >= 0) & (d4 <= d3), 1.0, v)
+  w = jnp.where((d3 >= 0) & (d4 <= d3), 0.0, w)
+  v = jnp.where((d6 >= 0) & (d5 <= d6), 0.0, v)
+  w = jnp.where((d6 >= 0) & (d5 <= d6), 1.0, w)
+  e_ab = jnp.clip(jnp.where(jnp.abs(d1 - d3) > 1e-20,
+                            d1 / jnp.maximum(d1 - d3, 1e-20), 0.0),
+                  0.0, 1.0)
+  on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+  v = jnp.where(on_ab, e_ab, v)
+  w = jnp.where(on_ab, 0.0, w)
+  e_ac = jnp.clip(jnp.where(jnp.abs(d2 - d6) > 1e-20,
+                            d2 / jnp.maximum(d2 - d6, 1e-20), 0.0),
+                  0.0, 1.0)
+  on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+  v = jnp.where(on_ac, 0.0, v)
+  w = jnp.where(on_ac, e_ac, w)
+  e_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6),
+                                          1e-20), 0.0, 1.0)
+  on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+  v = jnp.where(on_bc, 1.0 - e_bc, v)
+  w = jnp.where(on_bc, e_bc, w)
+  closest = (a[None] + v[..., None] * ab[None] + w[..., None] * ac[None])
+  dist = jnp.min(jnp.linalg.norm(p[:, None, :] - closest, axis=-1),
+                 axis=1)
+  # sign: +x ray crossing parity (Moller-Trumbore, watertight-ish)
+  eps = 1e-12
+  dirv = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+  pvec = jnp.cross(dirv, ac)                        # (F, 3)
+  det = jnp.einsum('fi,fi->f', ab, pvec)
+  inv = 1.0 / jnp.where(jnp.abs(det) < eps, 1.0, det)
+  tvec = p[:, None, :] - a[None]
+  u = jnp.einsum('pfi,fi->pf', tvec, pvec) * inv
+  qvec = jnp.cross(tvec, ab[None])
+  vv = jnp.einsum('pfi,i->pf', qvec, dirv) * inv
+  tt = jnp.einsum('pfi,fi->pf', qvec, ac) * inv
+  hit = ((jnp.abs(det) >= eps) & (u >= 0) & (vv >= 0) &
+         (u + vv <= 1) & (tt > 0))
+  crossings = jnp.sum(hit, axis=1)
+  inside = (crossings % 2) == 1
+  return jnp.where(inside, -dist, dist)
+
+
+_VOXEL_JIT = None
+
+
+def _voxel_chunk_jit():
+  """One shared CPU-jitted voxel-distance program for ALL meshes
+  (faces arrive padded to power-of-two buckets, so each bucket size
+  compiles once instead of once per mesh)."""
+  global _VOXEL_JIT
+  if _VOXEL_JIT is None:
+    _VOXEL_JIT = jax.jit(_voxel_chunk_dist, backend='cpu')
+  return _VOXEL_JIT
+
+
 def _voxelize_mesh_grid(mjm: mujoco.MjModel, meshid: int,
                         res: int) -> tuple[np.ndarray, np.ndarray]:
   """Signed-distance voxel grid for a plain (non-octree) mesh:
@@ -531,74 +607,27 @@ def _voxelize_mesh_grid(mjm: mujoco.MjModel, meshid: int,
   pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
   tri = verts[faces]                                  # (F, 3, 3)
+  # pad the face count to a power-of-two bucket so every mesh in the
+  # model shares ONE jitted distance program per bucket (23 per-mesh
+  # CPU compiles took ~8 min on aloha_sdf; padded degenerate faces at
+  # +1e6 never win the min and never cross the parity ray)
+  fpad = max(128, 1 << int(np.ceil(np.log2(max(len(tri), 1)))))
+  if fpad != len(tri):
+    far = np.full((fpad - len(tri), 3, 3), 1e6, np.float32)
+    tri = np.concatenate([tri, far], axis=0)
 
-  def chunk_dist(p):                                  # (P, 3)
-    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
-    ab, ac = b - a, c - a
-    ap = p[:, None, :] - a[None, :, :]                # (P, F, 3)
-    d1 = jnp.einsum('fi,pfi->pf', ab, ap)
-    d2 = jnp.einsum('fi,pfi->pf', ac, ap)
-    bp = p[:, None, :] - b[None, :, :]
-    d3 = jnp.einsum('fi,pfi->pf', ab, bp)
-    d4 = jnp.einsum('fi,pfi->pf', ac, bp)
-    cp = p[:, None, :] - c[None, :, :]
-    d5 = jnp.einsum('fi,pfi->pf', ab, cp)
-    d6 = jnp.einsum('fi,pfi->pf', ac, cp)
-    va = d3 * d6 - d5 * d4
-    vb = d5 * d2 - d1 * d6
-    vc = d1 * d4 - d3 * d2
-    denom = jnp.maximum(va + vb + vc, 1e-20)
-    v = jnp.clip(vb / denom, 0.0, 1.0)
-    w = jnp.clip(vc / denom, 0.0, 1.0)
-    # barycentric clamp fallback: project to edges/verts via clip chain
-    v = jnp.where((d1 <= 0) & (d2 <= 0), 0.0, v)
-    w = jnp.where((d1 <= 0) & (d2 <= 0), 0.0, w)
-    v = jnp.where((d3 >= 0) & (d4 <= d3), 1.0, v)
-    w = jnp.where((d3 >= 0) & (d4 <= d3), 0.0, w)
-    v = jnp.where((d6 >= 0) & (d5 <= d6), 0.0, v)
-    w = jnp.where((d6 >= 0) & (d5 <= d6), 1.0, w)
-    e_ab = jnp.clip(jnp.where(jnp.abs(d1 - d3) > 1e-20,
-                              d1 / jnp.maximum(d1 - d3, 1e-20), 0.0),
-                    0.0, 1.0)
-    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
-    v = jnp.where(on_ab, e_ab, v)
-    w = jnp.where(on_ab, 0.0, w)
-    e_ac = jnp.clip(jnp.where(jnp.abs(d2 - d6) > 1e-20,
-                              d2 / jnp.maximum(d2 - d6, 1e-20), 0.0),
-                    0.0, 1.0)
-    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
-    v = jnp.where(on_ac, 0.0, v)
-    w = jnp.where(on_ac, e_ac, w)
-    e_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6),
-                                            1e-20), 0.0, 1.0)
-    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
-    v = jnp.where(on_bc, 1.0 - e_bc, v)
-    w = jnp.where(on_bc, e_bc, w)
-    closest = (a[None] + v[..., None] * ab[None] + w[..., None] * ac[None])
-    dist = jnp.min(jnp.linalg.norm(p[:, None, :] - closest, axis=-1),
-                   axis=1)
-    # sign: +x ray crossing parity (Moller-Trumbore, watertight-ish)
-    eps = 1e-12
-    dirv = jnp.array([1.0, 0.0, 0.0], jnp.float32)
-    pvec = jnp.cross(dirv, ac)                        # (F, 3)
-    det = jnp.einsum('fi,fi->f', ab, pvec)
-    inv = 1.0 / jnp.where(jnp.abs(det) < eps, 1.0, det)
-    tvec = p[:, None, :] - a[None]
-    u = jnp.einsum('pfi,fi->pf', tvec, pvec) * inv
-    qvec = jnp.cross(tvec, ab[None])
-    vv = jnp.einsum('pfi,i->pf', qvec, dirv) * inv
-    tt = jnp.einsum('pfi,fi->pf', qvec, ac) * inv
-    hit = ((jnp.abs(det) >= eps) & (u >= 0) & (vv >= 0) &
-           (u + vv <= 1) & (tt > 0))
-    crossings = jnp.sum(hit, axis=1)
-    inside = (crossings % 2) == 1
-    return jnp.where(inside, -dist, dist)
-
-  fchunk = jax.jit(chunk_dist, backend='cpu')
+  fchunk = _voxel_chunk_jit()
   out = np.empty(len(pts), np.float32)
   step = 2048
-  for i in range(0, len(pts), step):
-    out[i:i + step] = np.asarray(fchunk(jnp.asarray(pts[i:i + step])))
+  tri_dev = jnp.asarray(tri)
+  npts = len(pts)
+  if npts % step:                      # pad points to one static shape
+    pts = np.concatenate(
+        [pts, np.zeros((step - npts % step, 3), np.float32)])
+  for i in range(0, npts, step):
+    out[i:i + step] = np.asarray(
+        fchunk(jnp.asarray(pts[i:i + step]), tri_dev))[:min(
+            step, npts - i)]
   grid = out.reshape(res, res, res)
   aabb = np.stack([center, half]).astype(np.float32)
   np.savez(cache, grid=grid, aabb=aabb)

@@ -222,6 +222,23 @@ def cho_solve_batched(l: jax.Array, b: jax.Array) -> jax.Array:
 # ancestor columns + D on the diagonal; the solves read only those).
 
 
+def _vmem_gate(nv: int, name: str, budget_mb: float = 100.0) -> None:
+  """Refuse kernels whose per-block VMEM windows cannot fit. The tree
+  kernels window TWO dense (nv, nv, 128) f32 blocks (input + factor,
+  double-buffered across grid steps); past ~100 MB Mosaic either
+  rejects the kernel or the compile helper dies (round-3 cloth:
+  nv=2706 → 3.7 GB demanded of a 128 MB VMEM). Models this large must
+  use the sparse-qM path (mujoco_warp_tpu/sparse.py), which put_model
+  selects automatically above MJWT_SPARSE_NV."""
+  window_mb = 2 * 2 * nv * nv * LANES * 4 / 1e6
+  if window_mb > budget_mb:
+    raise ValueError(
+        f'{name}: nv={nv} needs ~{window_mb:.0f} MB of VMEM windows '
+        f'(budget ~{budget_mb:.0f} MB). Use the sparse-qM path '
+        '(put_model enables it above MJWT_SPARSE_NV for CG models) '
+        'instead of the dense tree-LDL kernel.')
+
+
 def dof_ancestors(dof_parentid) -> tuple:
   """Static ancestor chains (descending index order) per dof."""
   anc = []
@@ -303,6 +320,7 @@ def tree_ldl_solve_batched(a: jax.Array, b: jax.Array, parentid: tuple,
   — tree sparsity is preserved). Returns x (W, nv) (and the packed
   (W, nv, nv) LD factor if return_factor)."""
   w, nv, _ = a.shape
+  _vmem_gate(nv, 'tree_ldl_solve_batched')
   anc = dof_ancestors(parentid)
   wpad = -(-w // LANES) * LANES
   at = jnp.moveaxis(a, 0, -1)

@@ -73,8 +73,12 @@ def _newton_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
                    qfs_ref, ws_ref, hb_ref, qacc_ref, qfc_ref, force_ref,
                    niter_ref, qaccs_ref, qld_ref, qacce_ref, h_scr,
                    jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
-                   done_scr):
-  _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+                   done_scr, jt_scr):
+  # J arrives in the contact megakernel's native (nj, nv, L) layout; one
+  # in-VMEM transpose (~83us at humanoid size) replaces the ~500us XLA
+  # relayout copies between the two custom calls (round-4 HLO profile)
+  jt_scr[...] = jnp.swapaxes(j_ref[...], 0, 1)
+  _newton_core(cfg, p_ref, qm_ref, jt_scr, d_ref, aref_ref, fl_ref,
                qfs_ref[...], ws_ref[...], hb_ref[...], None, qacc_ref,
                qfc_ref, force_ref, niter_ref, qaccs_ref, qld_ref,
                qacce_ref, h_scr, jd_scr, ma_scr, jaref_scr, search_scr,
@@ -86,8 +90,9 @@ def _newton_ell_kernel(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref,
                        qacc_ref, qfc_ref, force_ref, niter_ref,
                        qaccs_ref, qld_ref, qacce_ref, h_scr, jd_scr,
                        ma_scr, jaref_scr, search_scr, cost_scr,
-                       done_scr):
-  _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+                       done_scr, jt_scr):
+  jt_scr[...] = jnp.swapaxes(j_ref[...], 0, 1)
+  _newton_core(cfg, p_ref, qm_ref, jt_scr, d_ref, aref_ref, fl_ref,
                qfs_ref[...], ws_ref[...], hb_ref[...],
                (fr_ref[...], dim_ref[...]), qacc_ref, qfc_ref,
                force_ref, niter_ref, qaccs_ref, qld_ref, qacce_ref,
@@ -238,15 +243,29 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     return 0.5 * jnp.sum((ma - qfs) * (qacc - qacc_smooth), axis=0,
                          keepdims=True)
 
+  def _h_rows_from_jd(read_jd):
+    """Assemble symmetric H rows: only the lower triangle is reduced
+    (sum over nj), the upper mirrors it — halves the dominant
+    O(nv^2 nj) Hessian cost (H = M + J^T diag(dh) J is symmetric)."""
+    low = [[None] * nv for _ in range(nv)]
+    for i in range(nv):
+      jd_i = read_jd(i)
+      for j in range(i + 1):
+        low[i][j] = jnp.sum(jd_i * j_ref[j], axis=0, keepdims=True)
+    rows = []
+    for i in range(nv):
+      vals = [low[i][j] if j <= i else low[j][i] for j in range(nv)]
+      rows.append(qm_ref[i] + jnp.concatenate(vals, axis=0))
+    return rows
+
   def newton_mgrad(grad, quad, jaref=None):
     dh = D * quad.astype(dt)               # (nj, L)
     if ell is None:
       for i in range(nv):
         jd_scr[i] = j_ref[i] * dh
+      rows = _h_rows_from_jd(lambda i: jd_scr[i])
       for i in range(nv):
-        vals = [jnp.sum(jd_scr[i] * j_ref[j], axis=0, keepdims=True)
-                for j in range(nv)]
-        h_scr[i] = qm_ref[i] + jnp.concatenate(vals, axis=0)
+        h_scr[i] = rows[i]
       cols = _chol_cols(nv, lambda j: h_scr[j])
       return _chol_solve(nv, cols, grad)
 
@@ -294,10 +313,9 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
       mix = jnp.concatenate(mix_rows, axis=1).reshape(C * S, L)
       jd_i = jnp.concatenate([jd_i[:base], jd_i[base:] + mix], axis=0)
       jd_scr[i] = jd_i
-    for i in range(nv):
-      vals = [jnp.sum(jd_scr[i] * j_ref[j], axis=0, keepdims=True)
-              for j in range(nv)]
-      h_rows.append(qm_ref[i] + jnp.concatenate(vals, axis=0))
+    # symmetric: J^T (diag(dh) + blockdiag(Cc)) J with Cc symmetric —
+    # lower-triangle reductions only (see _h_rows_from_jd)
+    h_rows = _h_rows_from_jd(lambda i: jd_scr[i])
     # f32 guard: relative Tikhonov floor keeps the cone-corrected H
     # factorizable (same guard as the XLA path)
     tr = h_rows[0][0:1] * 0.0
@@ -541,11 +559,11 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
                                     memory_space=vm)
   in_specs = [
       pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=vm),
-      lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj), lane2(nj),
+      lane3(nv, nv), lane3(nj, nv), lane2(nj), lane2(nj), lane2(nj),
       lane2(nv), lane2(nv),
       pl.BlockSpec((nv, 1), lambda i: (0, 0), memory_space=vm),
   ]
-  inputs = [params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
+  inputs = [params, qm_t, bl(efc_j), bl(efc_d),
             bl(efc_aref), bl(efc_fl), bl(qfrc_smooth), bl(warmstart),
             hb.astype(dt)[:, None]]
   if ell is None:
@@ -579,7 +597,8 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
                       pltpu.VMEM((nj, LANES), jnp.float32),
                       pltpu.VMEM((nv, LANES), jnp.float32),
                       pltpu.VMEM((1, LANES), jnp.float32),
-                      pltpu.VMEM((1, LANES), jnp.float32)],
+                      pltpu.VMEM((1, LANES), jnp.float32),
+                      pltpu.VMEM((nv, nj, LANES), jnp.float32)],
   )(*inputs)
   t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
   qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = outs
@@ -759,16 +778,24 @@ def _glue_static(m):
 def _glue_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
                  qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref,
                  *refs):
-  _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
-             qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, None, *refs)
+  # J arrives (nj, nv, L) — the contact megakernel's native layout; the
+  # final scratch is the in-VMEM (nv, nj, L) transpose (see
+  # _newton_kernel note)
+  jt_scr = refs[-1]
+  jt_scr[...] = jnp.swapaxes(j_ref[...], 0, 1)
+  _glue_core(cfg, gs, p_ref, qm_ref, jt_scr, d_ref, aref_ref, fl_ref,
+             qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, None,
+             *refs[:-1])
 
 
 def _glue_ell_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref,
                      fl_ref, qpos_ref, qvel_ref, ctrl_ref, qfx_ref,
                      ws_ref, fr_ref, dim_ref, *refs):
-  _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
+  jt_scr = refs[-1]
+  jt_scr[...] = jnp.swapaxes(j_ref[...], 0, 1)
+  _glue_core(cfg, gs, p_ref, qm_ref, jt_scr, d_ref, aref_ref, fl_ref,
              qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref,
-             (fr_ref[...], dim_ref[...]), *refs)
+             (fr_ref[...], dim_ref[...]), *refs[:-1])
 
 
 def _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
@@ -961,11 +988,11 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
               _os.environ.get('MJWT_FORCE_MEGA', '0') == '1')
     in_specs = [
         pl.BlockSpec((4, 1), lambda i: (0, 0), memory_space=vm),
-        lane3(nv, nv), lane3(nv, nj), lane2(nj), lane2(nj),
+        lane3(nv, nv), lane3(nj, nv), lane2(nj), lane2(nj),
         lane2(nj), lane2(nq), lane2(nv), lane2(num), lane2(nv),
         lane2(nv),
     ]
-    inputs = [params, qm_t, jnp.swapaxes(bl(efc_j), 0, 1), bl(efc_d),
+    inputs = [params, qm_t, bl(efc_j), bl(efc_d),
               bl(efc_aref), bl(efc_fl), bl(qpos), bl(qvel), bl(ctrl),
               bl(qfx), bl(warmstart)]
     if ell is not None:
@@ -1006,7 +1033,8 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
                         pltpu.VMEM((nj, LANES), jnp.float32),
                         pltpu.VMEM((nv, LANES), jnp.float32),
                         pltpu.VMEM((1, LANES), jnp.float32),
-                        pltpu.VMEM((1, LANES), jnp.float32)],
+                        pltpu.VMEM((1, LANES), jnp.float32),
+                        pltpu.VMEM((nv, nj, LANES), jnp.float32)],
     )(*inputs)
     t2 = lambda x: jnp.moveaxis(x[..., :W], -1, 0)
     (qacc, qfc, force, niter, qaccs, qld, qacce, afrc, qfa, qfsp, qfdp,

@@ -20,6 +20,10 @@ PL004  strided middle-dim ref subscript `ref[:, j]` or `ref[:, a:b]`
        on a kernel ref parameter (names ending in `_ref`): leading-dim
        slices are contiguous, middle-dim strides measured ~100x slower
        in Mosaic.
+PL005  float-dtype iota (`broadcasted_iota(jnp.float32, ...)` /
+       `iota(float, ...)`): Mosaic's `tpu.iota` requires an integer
+       dtype — interpret mode accepts it, the real compiler rejects it
+       (r3: broke all three apollo configs). Build int iota + astype.
 
 Usage: python tools/pallas_lint.py <dir-or-file> [...]
 Exit code 1 if any finding."""
@@ -90,6 +94,18 @@ class Linter(ast.NodeVisitor):
                      'while_loop condition has no iteration bound '
                      '(unbounded on-device loops can wedge the chip)')
     f = node.func
+    # PL005: float-dtype iota anywhere in kernel modules — Mosaic
+    # requires integer tpu.iota (round-3 apollo breakage class)
+    if (isinstance(f, ast.Attribute) and
+        f.attr in ('broadcasted_iota', 'iota') and node.args):
+      d = node.args[0]
+      dname = (d.attr if isinstance(d, ast.Attribute) else
+               d.id if isinstance(d, ast.Name) else '')
+      if dname.startswith(('float', 'bfloat')) or dname == 'dt':
+        self._emit('PL005', node,
+                   f'{f.attr} with non-integer dtype {dname!r}: '
+                   'Mosaic tpu.iota must be integer — use int32 iota '
+                   '+ .astype(...)')
     if (isinstance(f, ast.Attribute) and f.attr == 'device_get' and
         self._fn_stack and
         not any(fn.name.startswith(('build', '_build', 'make', '_make'))
