@@ -1164,6 +1164,13 @@ def make_contact_kernel(m: Model, nconmax: int):
                                      geom_size_np) if cb_pairs else {})
     bb_results = (_box_box_batch(bb_pairs, bb_margins, gx_ref, gm_ref,
                                  geom_size_np) if bb_pairs else {})
+
+    # NOTE(r4): a per-candidate pl.when skip gate (bounding-sphere test,
+    # write-miss-then-conditionally-overwrite) was tried here and made
+    # the kernel ~85% SLOWER on humanoid@8192 (step.1 1239 -> 2289 us):
+    # Mosaic's scheduler loses software pipelining across scf.if
+    # regions, which costs more than the skipped collider math. Keep
+    # the straight-line unroll.
     ci = 0
     for (t1, t2, g1, g2, kk, pid) in cands:
       if kk > 0:

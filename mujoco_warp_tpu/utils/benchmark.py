@@ -19,21 +19,23 @@ import numpy as np
 from ..types import Data, Model
 
 
-def halton(index: jax.Array, base: int | jax.Array) -> jax.Array:
-  """Radical-inverse Halton sequence (reference util_misc.py:60),
-  fixed 32-digit unroll (covers indices beyond 4e9 in base 2)."""
-  index = index.astype(jnp.int32)
-  base = jnp.asarray(base, jnp.int32)
-  basef = base.astype(jnp.float32)
-
-  def body(_, carry):
-    idx, f, r = carry
-    f = f / basef
-    r = r + f * (idx % base).astype(jnp.float32)
-    return idx // base, f, r
-
-  _, _, r = jax.lax.fori_loop(
-      0, 32, body, (index, jnp.float32(1.0), jnp.float32(0.0)))
+def halton(index: jax.Array, base: int) -> jax.Array:
+  """Radical-inverse Halton sequence (reference util_misc.py:60) with a
+  STATIC integer base. Two perf hazards live here at 8192 worlds:
+  a lax.fori_loop emitted 32 serialized micro-fusions (~1.4 ms/step),
+  and a TRACED base makes every %/// a dynamic integer division, which
+  the TPU emulates (~1.5 ms/step). With a static base the whole digit
+  sum is one fused kernel of multiply-shift ops."""
+  base = int(base)
+  idx = index.astype(jnp.int32)
+  # enough digits to cover any int32 index: base**d <= 2^31
+  ndig = int(np.floor(31 / np.log2(base))) + 1
+  bpow = np.power(float(base), -np.arange(1, ndig + 1))  # 1/b^(d+1)
+  r = jnp.zeros(idx.shape, jnp.float32)
+  for d in range(ndig):
+    digit = (idx % base).astype(jnp.float32)
+    r = r + jnp.float32(bpow[d]) * digit
+    idx = idx // base
   return r
 
 
@@ -49,11 +51,32 @@ def ctrl_noise(m: Model, ctrl: jax.Array, worldid: jax.Array,
   lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
   midpoint = jnp.where(limited, 0.5 * (lo + hi), 0.0)
   halfrange = jnp.where(limited, 0.5 * (hi - lo), 1.0)
-  actids = jnp.arange(nu, dtype=jnp.int32)
-  h = jax.vmap(lambda a: halton((step + 1) * (worldid + 1), a + 2))(actids)
+  idx = (step + 1) * (worldid + 1)
+  # static python base per actuator → strength-reduced int division
+  h = jnp.stack([halton(idx, a + 2) for a in range(nu)], axis=0)
   new = rate * ctrl + (1.0 - rate) * midpoint
   new = new + scale * halfrange * (2.0 * h - 1.0)
   return jnp.where(limited, jnp.clip(new, lo, hi), new)
+
+
+def _lane_formats(batch: Data):
+  """Per-leaf Formats pinning every (W, ...) array with ndim >= 2 to a
+  LANE-MAJOR layout (worlds minor) — the physical layout the Pallas
+  worlds-in-lanes kernels produce. With matching in/out formats on the
+  donated step, XLA's per-step relayout copies of kernel outputs that
+  exist only to satisfy the default batch-major boundary layout become
+  bitcasts (humanoid@8192: Data.efc_J alone cost 362 us/step). The
+  analogue of the reference keeping ONE native layout on persistent
+  CUDA buffers across graph replays."""
+  from jax.experimental.layout import Format, Layout
+
+  def fmt(x):
+    if x.ndim >= 2 and all(s > 0 for s in x.shape):
+      return Format(Layout(tuple(range(1, x.ndim)) + (0,)), x.sharding)
+    # 1D / zero-size: keep the array's existing layout verbatim (a
+    # partially-Format tree makes device_put silently skip layouts)
+    return Format(x.format.layout, x.sharding)
+  return jax.tree.map(fmt, batch)
 
 
 def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
@@ -62,6 +85,7 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
               chunk: int = 100) -> dict:
   """Run nstep batched steps with ctrl noise; return the reference's
   metric dict shape (steps/s, jit time, convergence)."""
+  import os
   nworld = batch.qpos.shape[0]
   worldids = jnp.arange(nworld, dtype=jnp.int32)
 
@@ -82,7 +106,22 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
   # scan carry copies the full Data pytree every step, while donation
   # reuses it in place (the analogue of the reference replaying one
   # CUDA graph on fixed buffers, benchmark.py:128-157)
-  run_step = jax.jit(one_step, donate_argnums=(0,))
+  # Lane-major output layouts: every (W, ...) array the Pallas kernels
+  # write gets a worlds-minor layout, so the per-step relayout copies
+  # that existed only to satisfy the default batch-major boundary are
+  # gone (humanoid@8192: ~560 us/step). No in_shardings: jit adapts to
+  # whatever layouts the args carry (one extra retrace on step 2, after
+  # which in == out and the loop is stable; explicit in-constraints
+  # fight XLA, which silently drops layout requests on pass-through
+  # outputs and then rejects its own arrays at the next call).
+  lane_layout = (os.environ.get('MJWT_LANE_LAYOUT', '1') == '1' and
+                 jax.default_backend() == 'tpu')
+  if lane_layout:
+    fmts = _lane_formats(batch)
+    run_step = jax.jit(one_step, donate_argnums=(0,),
+                       out_shardings=(fmts, None))
+  else:
+    run_step = jax.jit(one_step, donate_argnums=(0,))
 
   t0 = time.perf_counter()
   d, step_i = run_step(batch, jnp.zeros((), jnp.int32))
