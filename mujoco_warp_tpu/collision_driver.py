@@ -238,32 +238,39 @@ def collision(m: Model, d: Data) -> Data:
       continue
 
     if GeomType.SDF in (t1, t2):
-      # SDF narrowphase, subgrouped by mesh-data ids so the voxel grids
-      # are static per collider (reference collision_sdf.py:933)
+      # SDF narrowphase: ONE traced descent program per (t1, t2)
+      # family; per-pair voxel grids are vmapped arguments (per-mesh
+      # closures multiplied the XLA program by the number of mesh-data
+      # pairs — aloha_sdf's collision compile exceeded 10 minutes)
       from . import collision_sdf
       ninit = m.opt.sdf_initpoints
       iters = m.opt.sdf_iterations
       geom_dataid_np = np.asarray(m.geom_dataid)
-      subs = {}
-      for idx, (g1, g2, pid) in enumerate(glist):
-        key = (int(geom_dataid_np[g1])
-               if t1 in (GeomType.MESH, GeomType.SDF) else -1,
-               int(geom_dataid_np[g2])
-               if t2 in (GeomType.MESH, GeomType.SDF) else -1)
-        subs.setdefault(key, []).append(idx)
-      for (did1, did2), idxs in sorted(subs.items()):
-        idxs_np = np.asarray(idxs)
-        g1sub = g1s[idxs_np]
-        g2sub = g2s[idxs_np]
-        fn = collision_sdf.sdf_pair_collider(m, t1, t2, did1, did2,
-                                             ninit, iters)
-        dist_k, pos_k, frame_k = jax.vmap(fn)(
-            d.geom_xpos[g1sub], d.geom_xmat[g1sub], m.geom_size[g1sub],
-            m.geom_aabb[g1sub],
-            d.geom_xpos[g2sub], d.geom_xmat[g2sub], m.geom_size[g2sub],
-            m.geom_aabb[g2sub])
-        sub_params = tuple(pp[idxs_np] for pp in params)
-        pack(dist_k, pos_k, frame_k, sub_params, g1sub, g2sub, ninit)
+      gom = np.asarray(m.sdf_grid_of_mesh)
+      has1 = t1 in (GeomType.MESH, GeomType.SDF)
+      has2 = t2 in (GeomType.MESH, GeomType.SDF)
+
+      def grids_for(gs, has):
+        if not has:
+          return (jnp.zeros_like(m.sdf_grids[0]),
+                  jnp.zeros_like(m.sdf_grid_aabb[0]), None, None)
+        gi = gom[geom_dataid_np[gs]]
+        if (gi < 0).any():
+          raise NotImplementedError(
+              f'no SDF grid for meshes {geom_dataid_np[gs][gi < 0]}')
+        return m.sdf_grids[gi], m.sdf_grid_aabb[gi], 0, 0
+
+      g1v, g1a, ax1v, ax1a = grids_for(g1s, has1)
+      g2v, g2a, ax2v, ax2a = grids_for(g2s, has2)
+      fn = collision_sdf.sdf_pair_collider(
+          m, t1, t2, 0 if has1 else -1, 0 if has2 else -1, ninit, iters)
+      dist_k, pos_k, frame_k = jax.vmap(
+          fn, in_axes=(0, 0, 0, 0, ax1v, ax1a, 0, 0, 0, 0, ax2v, ax2a))(
+          d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
+          m.geom_aabb[g1s], g1v, g1a,
+          d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s],
+          m.geom_aabb[g2s], g2v, g2a)
+      pack(dist_k, pos_k, frame_k, params, g1s, g2s, ninit)
       continue
 
     fn = collision_primitive.COLLIDERS.get((t1, t2))

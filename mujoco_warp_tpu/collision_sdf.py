@@ -99,37 +99,33 @@ def _transformed_aabb(center, half, pos, mat):
 
 def sdf_pair_collider(m: Model, t1: int, t2: int, did1: int, did2: int,
                       ninit: int, iters: int):
-  """Collider closure for one (type1, type2, mesh-data) subgroup.
-  Returns fn(p1, m1, s1, aabb1, p2, m2, s2, aabb2) ->
-  (dist (ninit,), pos (ninit, 3), frame (ninit, 3, 3))."""
-  g1_grid = None
-  g2_grid = None
-  if t1 in (GeomType.MESH, GeomType.SDF) and did1 >= 0:
-    gi = m.sdf_grid_of_mesh[did1]
-    if gi < 0:
-      raise NotImplementedError(f'no SDF grid for mesh {did1}')
-    g1_grid = (m.sdf_grids[gi], m.sdf_grid_aabb[gi])
-  if t2 in (GeomType.MESH, GeomType.SDF) and did2 >= 0:
-    gi = m.sdf_grid_of_mesh[did2]
-    if gi < 0:
-      raise NotImplementedError(f'no SDF grid for mesh {did2}')
-    g2_grid = (m.sdf_grids[gi], m.sdf_grid_aabb[gi])
+  """Collider for one (type1, type2) family; voxel grids arrive as
+  ARGUMENTS (None when that side is a primitive), so ONE traced descent
+  program serves every mesh-data subgroup — per-(did1, did2) closures
+  multiplied the XLA program by the number of mesh pairs and took the
+  aloha_sdf collision-stage compile past 10 minutes.
+  Returns fn(p1, m1, s1, aabb1, grid1, gaabb1, p2, m2, s2, aabb2,
+  grid2, gaabb2) -> (dist (ninit,), pos (ninit, 3), frame (ninit, 3,
+  3)); grid* are (R, R, R) values + (2, 3) center/half, or None."""
+  has_g1 = t1 in (GeomType.MESH, GeomType.SDF) and did1 >= 0
+  has_g2 = t2 in (GeomType.MESH, GeomType.SDF) and did2 >= 0
 
   # Halton-scattered unit-cube points (reference uses bases 2/3/5)
   h = np.array([[_halton(i, 2), _halton(i, 3), _halton(i, 5)]
                 for i in range(ninit)], np.float32)
 
-  def fn(p1, m1, s1, aabb1, p2, m2, s2, aabb2):
+  def fn(p1, m1, s1, aabb1, grid1, gaabb1, p2, m2, s2, aabb2, grid2,
+         gaabb2):
     dtype = p1.dtype
 
     def sdf1(p):
-      if g1_grid is not None:
-        return _grid_sdf(g1_grid[0], g1_grid[1][0], g1_grid[1][1], p)
+      if has_g1:
+        return _grid_sdf(grid1, gaabb1[0], gaabb1[1], p)
       return _primitive_sdf(t1, p, s1)
 
     def sdf2(p):
-      if g2_grid is not None:
-        return _grid_sdf(g2_grid[0], g2_grid[1][0], g2_grid[1][1], p)
+      if has_g2:
+        return _grid_sdf(grid2, gaabb2[0], gaabb2[1], p)
       return _primitive_sdf(t2, p, s2)
 
     rel_mat = m1.T @ m2                    # g2 -> g1

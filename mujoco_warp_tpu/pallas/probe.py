@@ -33,7 +33,7 @@ import jax
 _LOG = logging.getLogger(__name__)
 
 # bump when kernel codegen changes in a way that invalidates old probes
-_PROBE_SALT = 'r4.2'
+_PROBE_SALT = 'r4.3'
 
 _MEMO: dict[str, bool] = {}
 _DISK: dict[str, bool] | None = None

@@ -110,8 +110,13 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   per-element writes measured ~100x slower in Mosaic. `qfs` (qfrc_smooth)
   and `ws` (warmstart qacc) come in as VALUES so the glue kernel can
   assemble qfrc_smooth in its preamble. `con` = (friction (C, 5, L),
-  dim (C, L)) values for the elliptic cone (None for pyramidal)."""
-  (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp, ell) = cfg
+  dim (C, L)) values for the elliptic cone (None for pyramidal).
+  cfg may carry a 10th element `hcover`: a static (nv, nv) bool
+  tuple-of-tuples marking dof pairs some constraint row can co-touch —
+  H[i, j] reductions outside it are statically zero and skipped
+  (e.g. humanoid: left-leg x right-arm dofs never share a row)."""
+  hcover = cfg[9] if len(cfg) > 9 else None
+  (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp, ell) = cfg[:9]
   L = qfs.shape[-1]
   dt = jnp.float32
 
@@ -246,11 +251,17 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   def _h_rows_from_jd(read_jd):
     """Assemble symmetric H rows: only the lower triangle is reduced
     (sum over nj), the upper mirrors it — halves the dominant
-    O(nv^2 nj) Hessian cost (H = M + J^T diag(dh) J is symmetric)."""
+    O(nv^2 nj) Hessian cost (H = M + J^T diag(dh) J is symmetric) —
+    and statically-uncovered (i, j) pairs (hcover) skip the reduction
+    entirely (their J^T D J entry is exactly zero for every world)."""
+    zrow = jnp.zeros((1, L), dt)
     low = [[None] * nv for _ in range(nv)]
     for i in range(nv):
       jd_i = read_jd(i)
       for j in range(i + 1):
+        if hcover is not None and not hcover[i][j]:
+          low[i][j] = zrow
+          continue
         low[i][j] = jnp.sum(jd_i * j_ref[j], axis=0, keepdims=True)
     rows = []
     for i in range(nv):
@@ -415,7 +426,9 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     # smooth (cone zone transitions put kinks in it) and a raw Newton
     # step can oscillate across a kink forever — keep the bracket
     # [lo, hi] live and fall back to its midpoint whenever the Newton
-    # step leaves it
+    # step leaves it. (Cutting these to 2 for the pyramidal cone was
+    # tried: alpha error ~1e-2 trajectory divergence in 15 steps — the
+    # bracket can span multiple kinks, so keep 4.)
     for _ in range(4):
       p1_a, p2_a = phi_d(alpha)
       neg = p1_a < 0
@@ -517,12 +530,13 @@ def _newton_core(cfg, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
 @functools.partial(jax.jit, static_argnames=('ne', 'nf', 'iterations',
                                              'ls_k', 'use_ws',
                                              'interpret', 'euler_damp',
-                                             'ell'))
+                                             'ell', 'hcover'))
 def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
                          warmstart, tolerance, meaninertia, hb=None,
                          con_friction=None, con_dim=None, impratio=None,
                          *, ne, nf, iterations, ls_k=10, use_ws=True,
-                         interpret=False, euler_damp=False, ell=None):
+                         interpret=False, euler_damp=False, ell=None,
+                         hcover=None):
   """Batched Newton solve. All inputs (W, ...) batch-first; returns
   (qacc, qfrc_constraint, efc_force, niter, qacc_smooth, qLD).
   ell = (base, S, C) static contact-block layout for the elliptic cone
@@ -549,7 +563,8 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
                       jnp.zeros((), dt),
                       impratio.astype(dt).reshape(())])[:, None]
 
-  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp, ell)
+  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, euler_damp, ell,
+         hcover)
   if hb is None:
     hb = jnp.zeros((nv,), dt)
   vm = pltpu.VMEM
@@ -625,6 +640,60 @@ _BIG = 1e30
 
 def _np_leaf(x):
   return np.asarray(jax.device_get(x))  # pallas-lint: ok(concrete Model leaf at kernel-build time)
+
+
+def hessian_cover(m):
+  """Static (nv, nv) bool cover of the Newton Hessian's J^T D J term:
+  (i, j) is covered iff SOME possible constraint row has nonzero
+  jacobian at both dofs — the union over collision candidates /
+  equalities of (chain(b1) | chain(b2))^2, plus limit/friction
+  diagonals. Uncovered entries are zero in every world, so their
+  in-kernel reductions are skipped (humanoid: 55% covered).
+  Returns None when the cover is dense enough to be pointless."""
+  from ..types import EqType
+  if m.ntendon or m.sap_meta:
+    # tendon limit/friction rows span arbitrary dofs; SAP models have
+    # dynamic pairs not enumerated in collision_pairs — no static cover
+    return None
+  mask = np.asarray(
+      jax.device_get(m.body_dof_ancestor_mask)) > 0  # pallas-lint: ok(concrete Model leaf at kernel-build time)
+  nv = m.nv
+  cover = np.zeros((nv, nv), bool)
+
+  def add_bodies(bs):
+    dofs = np.zeros(nv, bool)
+    for b in bs:
+      dofs |= mask[int(b)]
+    idx = np.nonzero(dofs)[0]
+    cover[np.ix_(idx, idx)] = True
+
+  for _t1, _t2, gl in m.collision_pairs:
+    for (g1, g2, _pid) in gl:
+      add_bodies([m.geom_bodyid[g1], m.geom_bodyid[g2]])
+  for e in range(m.neq):
+    et = m.eq_type[e]
+    o1, o2 = m.eq_obj1id[e], m.eq_obj2id[e]
+    if et in (EqType.CONNECT, EqType.WELD):
+      add_bodies([o1, o2])
+    elif et == EqType.JOINT:
+      d1 = m.jnt_dofadr[o1]
+      d2 = m.jnt_dofadr[o2] if o2 >= 0 else d1
+      for a in (d1, d2):
+        for b in (d1, d2):
+          cover[a, b] = True
+    else:  # unknown row shape: be conservative
+      cover[:, :] = True
+  for j in range(m.njnt):
+    if m.jnt_limited[j]:
+      d0 = m.jnt_dofadr[j]
+      nd = 1  # slide/hinge limits (ball handled by XLA path)
+      cover[d0:d0 + nd, d0:d0 + nd] = True
+  for v in range(nv):
+    if m.dof_hasfrictionloss[v]:
+      cover[v, v] = True
+  if cover.mean() > 0.9:
+    return None
+  return tuple(tuple(bool(x) for x in row) for row in cover)
 
 
 def glue_supported(m) -> bool:
@@ -946,7 +1015,8 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
   nv, nq, nu = gs['nv'], gs['nq'], gs['nu']
   iterations = int(m.opt.iterations)
   ls_k = 10
-  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, mode > 0, ell)
+  cfg = (nv, nj, ne, nf, iterations, ls_k, use_ws, mode > 0, ell,
+         hessian_cover(m))
   kernel = functools.partial(
       _glue_ell_kernel if ell is not None else _glue_kernel, cfg, gs)
   num = max(nu, 1)

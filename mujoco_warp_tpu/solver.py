@@ -627,11 +627,13 @@ def _fused_args(m: Model, d: Data):
     con_dim = jnp.where(d.contact.geom[..., 0] >= 0,
                         d.contact.dim, 0).astype(d.qpos.dtype)
     impratio = m.opt.impratio
+  from .pallas import solver_kernels as _sk
   args = (d.qM, d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
           d.qfrc_smooth, d.qacc_warmstart, m.opt.tolerance,
           m.stat.meaninertia, hb, con_friction, con_dim, impratio)
   static = dict(ne=ne, nf=nf, iterations=m.opt.iterations, use_ws=use_ws,
-                euler_damp=euler_damp, interpret=interp, ell=ell)
+                euler_damp=euler_damp, interpret=interp, ell=ell,
+                hcover=_sk.hessian_cover(m))
   return args, static
 
 

@@ -173,7 +173,13 @@ def benchmark_replay(m: Model, batch: Data, traj: jax.Array,
     d = step_batched(m, d)
     return d, step_i + 1
 
-  run_step = jax.jit(one_step, donate_argnums=(0,))
+  import os
+  if (os.environ.get('MJWT_LANE_LAYOUT', '1') == '1' and
+      jax.default_backend() == 'tpu'):
+    run_step = jax.jit(one_step, donate_argnums=(0,),
+                       out_shardings=(_lane_formats(batch), None))
+  else:
+    run_step = jax.jit(one_step, donate_argnums=(0,))
   t0 = time.perf_counter()
   d, step_i = run_step(batch, jnp.zeros((), jnp.int32))
   jax.block_until_ready(d.qpos)
