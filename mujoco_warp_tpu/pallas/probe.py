@@ -97,17 +97,41 @@ def probe(key: str, build: Callable[[], None]) -> bool:
       _LOG.warning('pallas probe memo: %s known-bad, using XLA path', key)
     return disk[full_key]
   t0 = time.perf_counter()
-  try:
-    build()
+  # run the compile in a worker thread with a wall-clock budget: a
+  # Mosaic compile that takes hours (r3: three_humanoids sat in the
+  # compiler) is as bad as a crash — time out, record bad, take the
+  # XLA path (the orphaned compile thread finishes harmlessly).
+  # XLA compiles release the GIL, so join(timeout) works.
+  budget = float(os.environ.get('MJWT_PROBE_TIMEOUT', '600'))
+  import threading
+  result: dict = {}
+
+  def _worker():
+    try:
+      build()
+      result['ok'] = True
+    except Exception as e:  # noqa: BLE001 - any failure → fallback
+      result['ok'] = False
+      result['err'] = f'{type(e).__name__}: {str(e)[:300]}'
+
+  th = threading.Thread(target=_worker, daemon=True)
+  th.start()
+  th.join(budget)
+  if th.is_alive():
+    ok = False
+    _LOG.warning(
+        'pallas probe TIMED OUT for %s after %.0fs (MJWT_PROBE_TIMEOUT) '
+        '— falling back to the XLA path', key, budget)
+  elif result.get('ok'):
     ok = True
     _LOG.info('pallas probe ok: %s (%.1fs)', key,
               time.perf_counter() - t0)
-  except Exception as e:  # noqa: BLE001 - any compile failure → fallback
+  else:
     ok = False
     _LOG.warning(
         'pallas probe FAILED for %s after %.1fs — falling back to the '
-        'XLA path. %s: %s', key, time.perf_counter() - t0,
-        type(e).__name__, str(e)[:300])
+        'XLA path. %s', key, time.perf_counter() - t0,
+        result.get('err', ''))
   _MEMO[full_key] = ok
   disk[full_key] = ok
   _save_disk()
