@@ -29,14 +29,27 @@ from .types import Data, GeomType, Model, _pytree
 _INF = 1e10
 
 
+def _cam_resolutions(rc) -> list:
+  """[(W, H)] per selected camera (back-compat: () = uniform)."""
+  res = getattr(rc, 'resolutions', ()) or ()
+  if len(res) == len(rc.cam_ids) and len(res) > 0:
+    return list(res)
+  return [(rc.width, rc.height)] * len(rc.cam_ids)
+
+
 @_pytree(meta=('width', 'height', 'cam_ids', 'geom_texid', 'use_shadows',
-               'use_textures', 'light_type', 'light_castshadow'))
+               'use_textures', 'light_type', 'light_castshadow',
+               'resolutions'))
 class RenderContext:
   """Static camera/light/texture setup (reference types.py:1899
-  RenderContext; built by create_render_context = io.py:2649)."""
+  RenderContext; built by create_render_context = io.py:2649).
+  `resolutions` is a per-camera ((W, H), ...) tuple enabling
+  heterogeneous camera sizes (reference render.py:593-604 cumulative
+  ray addressing); () falls back to the uniform width x height."""
   width: int
   height: int
   cam_ids: Tuple[int, ...]
+  resolutions: Tuple[Tuple[int, int], ...]
   geom_texid: Tuple[int, ...]   # per-geom texture id (-1 = none)
   use_shadows: bool
   use_textures: bool
@@ -51,12 +64,26 @@ class RenderContext:
 def create_render_context(mjm, m: Model, width: int = 64,
                           height: int = 64, cam_ids=None,
                           use_shadows: bool = True,
-                          use_textures: bool = True) -> RenderContext:
+                          use_textures: bool = True,
+                          resolutions=None) -> RenderContext:
   """Build a RenderContext (reference io.py:2649 create_render_context:
-  texture upload, material resolution, light flags)."""
+  texture upload, material resolution, light flags). `resolutions` is
+  an optional per-camera [(W, H), ...]; by default each camera uses its
+  MJCF <camera resolution="..."> when set, else width x height."""
   if cam_ids is None:
     cam_ids = tuple(range(m.ncam))
   fovy = np.asarray([mjm.cam_fovy[c] for c in cam_ids], np.float32)
+  if resolutions is None:
+    res = []
+    cam_res = getattr(mjm, 'cam_resolution', None)
+    for c in cam_ids:
+      if cam_res is not None and int(cam_res[c][0]) > 1:
+        res.append((int(cam_res[c][0]), int(cam_res[c][1])))
+      else:
+        res.append((int(width), int(height)))
+    resolutions = tuple(res)
+  else:
+    resolutions = tuple((int(w), int(h)) for (w, h) in resolutions)
 
   # resolve material color / texture per geom (reference render.py:686)
   rgba = np.array(mjm.geom_rgba, np.float32)
@@ -94,6 +121,7 @@ def create_render_context(mjm, m: Model, width: int = 64,
 
   return RenderContext(
       width=width, height=height, cam_ids=tuple(int(c) for c in cam_ids),
+      resolutions=resolutions,
       geom_texid=tuple(int(t) for t in texid),
       use_shadows=bool(use_shadows and mjm.nlight),
       use_textures=bool(use_textures and used),
@@ -245,41 +273,63 @@ def _sample_texture(rc: RenderContext, slot_tex, texrep, hit_local_xy):
 
 
 def render(m: Model, d: Data, rc: RenderContext):
-  """Render all context cameras for one world: returns
-  (rgb (ncam, H, W, 3), depth (ncam, H, W), seg (ncam, H, W) int32)
-  (reference render.py:516 _render_megakernel)."""
-  H, W = rc.height, rc.width
+  """Render all context cameras for one world in ONE packed ray batch
+  (reference render.py:516 _render_megakernel + its per-camera
+  heterogeneous resolutions via cumulative ray addressing, 593-604).
+  Returns (rgb, depth, seg): stacked (ncam, H, W, ...) arrays when all
+  cameras share a resolution, else per-camera LISTS of (H_i, W_i, ...)
+  arrays."""
   dtype = d.qpos.dtype
   gids = _render_geoms(m)
+  res = _cam_resolutions(rc)                         # [(W_i, H_i)]
+  uniform = len(set(res)) <= 1
 
-  ys = (jnp.arange(H, dtype=dtype) + 0.5) / H - 0.5
-  xs = (jnp.arange(W, dtype=dtype) + 0.5) / W - 0.5
-  aspect = W / H
-
-  rgbs, depths, segs = [], [], []
+  # pack every camera's rays into one flat (R, 3) batch with per-ray
+  # origins — the shading below runs once over all cameras
+  dir_list, org_list = [], []
   for ci, cam in enumerate(rc.cam_ids):
+    Wc, Hc = res[ci]
+    ys = (jnp.arange(Hc, dtype=dtype) + 0.5) / Hc - 0.5
+    xs = (jnp.arange(Wc, dtype=dtype) + 0.5) / Wc - 0.5
+    aspect = Wc / Hc
     fovy = rc.fovy[ci] * jnp.pi / 180.0
     tan_y = jnp.tan(0.5 * fovy)
     dir_cam = jnp.stack(jnp.broadcast_arrays(
         xs[None, :] * 2.0 * tan_y * aspect,
         -ys[:, None] * 2.0 * tan_y,
-        -jnp.ones((H, W), dtype)), axis=-1)            # (H, W, 3)
+        -jnp.ones((Hc, Wc), dtype)), axis=-1)          # (H, W, 3)
     Rc = d.cam_xmat[cam]
-    pc = d.cam_xpos[cam]
-    dirs = dir_cam.reshape(-1, 3) @ Rc.T               # (H*W, 3) world
-    dirs = jax.vmap(math.normalize)(dirs)
+    dirs_c = dir_cam.reshape(-1, 3) @ Rc.T             # (H*W, 3) world
+    dir_list.append(jax.vmap(math.normalize)(dirs_c))
+    org_list.append(jnp.broadcast_to(d.cam_xpos[cam],
+                                     (Hc * Wc, 3)))
 
-    if not gids:
-      rgbs.append(jnp.zeros((H, W, 3), dtype))
-      depths.append(jnp.full((H, W), -1.0, dtype))
-      segs.append(jnp.full((H, W), -1, jnp.int32))
-      continue
+  def _split(flat, trailing=()):
+    """Unpack the flat ray buffer back into per-camera images."""
+    out, adr = [], 0
+    for ci in range(len(rc.cam_ids)):
+      Wc, Hc = res[ci]
+      out.append(flat[adr:adr + Hc * Wc].reshape((Hc, Wc) + trailing))
+      adr += Hc * Wc
+    return out
 
+  if not gids or not rc.cam_ids:
+    rgbs = [jnp.zeros((h, w, 3), dtype) for (w, h) in res]
+    depths = [jnp.full((h, w), -1.0, dtype) for (w, h) in res]
+    segs = [jnp.full((h, w), -1, jnp.int32) for (w, h) in res]
+    if uniform:
+      return jnp.stack(rgbs), jnp.stack(depths), jnp.stack(segs)
+    return rgbs, depths, segs
+
+  dirs = jnp.concatenate(dir_list, axis=0)             # (R, 3)
+  pc = jnp.concatenate(org_list, axis=0)               # (R, 3)
+
+  if True:
     tmin, slot, normal = _closest_hit(m, d, gids, pc, dirs)
     hit_mask = tmin < _INF * 0.5
     gid_np = jnp.asarray(np.array(gids, np.int32))
     gid_arr = gid_np[slot]
-    hits = pc[None, :] + tmin[:, None] * dirs
+    hits = pc + tmin[:, None] * dirs
 
     # base color: material-resolved rgba x texture (reference 686-717)
     base = rc.geom_rgba[gid_arr, :3]
@@ -335,12 +385,12 @@ def render(m: Model, d: Data, rc: RenderContext):
     rgb = jnp.clip(result, 0.0, 1.0)
     rgb = jnp.where(hit_mask[:, None], rgb, 0.0)
 
-    rgbs.append(rgb.reshape(H, W, 3))
-    depths.append(jnp.where(hit_mask, tmin, -1.0).reshape(H, W))
-    segs.append(jnp.where(hit_mask, gid_arr, -1).reshape(H, W))
-
-  return (jnp.stack(rgbs), jnp.stack(depths),
-          jnp.stack(segs).astype(jnp.int32))
+  rgbs = _split(rgb, (3,))
+  depths = _split(jnp.where(hit_mask, tmin, -1.0))
+  segs = _split(jnp.where(hit_mask, gid_arr, -1).astype(jnp.int32))
+  if uniform:
+    return jnp.stack(rgbs), jnp.stack(depths), jnp.stack(segs)
+  return rgbs, depths, segs
 
 
 def get_rgb(rgb: jax.Array) -> np.ndarray:

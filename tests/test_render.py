@@ -169,3 +169,48 @@ def test_mesh_and_hfield_render():
   # hfield top surface at z = 0.5*0.4 = 0.2 -> depth from cam at z=3
   center = float(depth[0, 16, 16])
   assert abs(center - (3 - 0.2 - 1e-9)) < 0.35 or abs(center - 2.7) < 0.35
+
+
+TWO_CAM_SCENE = """
+<mujoco>
+  <worldbody>
+    <light pos="0 -3 3" dir="0 1 -1" directional="true"/>
+    <geom name="floor" type="plane" size="5 5 1" rgba="0.5 0.5 0.5 1"/>
+    <body pos="0 0 0.5">
+      <freejoint/>
+      <geom name="ball" type="sphere" size="0.2" mass="1" rgba="1 0 0 1"/>
+    </body>
+    <camera name="front" pos="0 -2 0.5" euler="90 0 0" fovy="45"/>
+    <camera name="side" pos="0 -3 0.5" euler="90 0 0" fovy="45"/>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_heterogeneous_camera_resolutions():
+  """Per-camera resolutions in one packed ray batch (reference
+  render.py:593-604 cumulative ray addressing)."""
+  mjm, mjd, m, d = fixture(TWO_CAM_SCENE)
+  d = mjwt.fwd_position(m, d)
+  rc = render_mod.create_render_context(
+      mjm, m, resolutions=[(32, 24), (16, 16)])
+  rgbs, depths, segs = jax.jit(
+      lambda dd: render_mod.render(m, dd, rc))(d)
+  assert isinstance(rgbs, list) and len(rgbs) == 2
+  assert rgbs[0].shape == (24, 32, 3)
+  assert rgbs[1].shape == (16, 16, 3)
+  assert depths[0].shape == (24, 32)
+  assert segs[1].shape == (16, 16)
+  ball = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_GEOM, 'ball')
+  # both cameras look straight at the sphere from 2m: depth 1.8
+  assert abs(float(depths[0][12, 16]) - 1.8) < 0.03
+  assert abs(float(depths[1][8, 8]) - 2.8) < 0.06
+  assert int(segs[0][12, 16]) == ball
+  assert int(segs[1][8, 8]) == ball
+  # packed-output parity vs a uniform-resolution render of camera 0
+  rc_uni = render_mod.create_render_context(
+      mjm, m, 32, 24, cam_ids=(0,))
+  rgb_u, depth_u, seg_u = jax.jit(
+      lambda dd: render_mod.render(m, dd, rc_uni))(d)
+  np.testing.assert_allclose(np.asarray(rgbs[0]), np.asarray(rgb_u[0]),
+                             rtol=1e-5, atol=1e-5)
