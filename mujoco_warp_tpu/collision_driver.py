@@ -260,17 +260,32 @@ def collision(m: Model, d: Data) -> Data:
               f'no SDF grid for meshes {geom_dataid_np[gs][gi < 0]}')
         return m.sdf_grids[gi], m.sdf_grid_aabb[gi], 0, 0
 
-      g1v, g1a, ax1v, ax1a = grids_for(g1s, has1)
-      g2v, g2a, ax2v, ax2a = grids_for(g2s, has2)
-      fn = collision_sdf.sdf_pair_collider(
-          m, t1, t2, 0 if has1 else -1, 0 if has2 else -1, ninit, iters)
-      dist_k, pos_k, frame_k = jax.vmap(
-          fn, in_axes=(0, 0, 0, 0, ax1v, ax1a, 0, 0, 0, 0, ax2v, ax2a))(
-          d.geom_xpos[g1s], d.geom_xmat[g1s], m.geom_size[g1s],
-          m.geom_aabb[g1s], g1v, g1a,
-          d.geom_xpos[g2s], d.geom_xmat[g2s], m.geom_size[g2s],
-          m.geom_aabb[g2s], g2v, g2a)
-      pack(dist_k, pos_k, frame_k, params, g1s, g2s, ninit)
+      # partition by the (static) plugin-name pair: a registered geom
+      # SDF plugin replaces the voxel grid with its analytic distance
+      # (ref collision_sdf.py:798-844 dispatches on geom_plugin_index)
+      pname = m.geom_plugin
+      g1s_np, g2s_np = np.asarray(g1s), np.asarray(g2s)
+      plug_keys = [(pname[a], pname[b]) for a, b in zip(g1s_np, g2s_np)]
+      for pk in sorted(set(plug_keys)):
+        idxs_np = np.array([i for i, q in enumerate(plug_keys) if q == pk],
+                           np.int32)
+        sub1, sub2 = g1s_np[idxs_np], g2s_np[idxs_np]
+        sh1 = has1 and not pk[0]
+        sh2 = has2 and not pk[1]
+        g1v, g1a, ax1v, ax1a = grids_for(sub1, sh1)
+        g2v, g2a, ax2v, ax2a = grids_for(sub2, sh2)
+        fn = collision_sdf.sdf_pair_collider(
+            m, t1, t2, 0 if sh1 else -1, 0 if sh2 else -1, ninit,
+            iters, pk[0], pk[1])
+        dist_k, pos_k, frame_k = jax.vmap(
+            fn, in_axes=(0, 0, 0, 0, ax1v, ax1a, 0,
+                         0, 0, 0, 0, ax2v, ax2a, 0))(
+            d.geom_xpos[sub1], d.geom_xmat[sub1], m.geom_size[sub1],
+            m.geom_aabb[sub1], g1v, g1a, m.geom_plugin_attr[sub1],
+            d.geom_xpos[sub2], d.geom_xmat[sub2], m.geom_size[sub2],
+            m.geom_aabb[sub2], g2v, g2a, m.geom_plugin_attr[sub2])
+        sub_params = tuple(pp[idxs_np] for pp in params)
+        pack(dist_k, pos_k, frame_k, sub_params, sub1, sub2, ninit)
       continue
 
     fn = collision_primitive.COLLIDERS.get((t1, t2))

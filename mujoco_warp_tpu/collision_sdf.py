@@ -21,6 +21,37 @@ from .types import GeomType, Model
 
 _BIG = 1e10
 
+# --- geom (SDF) plugin runtime -------------------------------------------
+# The reference supports geom SDF plugins only (body/actuator/sensor
+# plugins raise NotImplementedError, ref io.py:132-139); user code
+# provides the distance function (ref collision_sdf.py:234 user_sdf — a
+# stub the user must fill in). Here the hook is a registry of
+# jnp-traceable functions keyed by the MuJoCo plugin name, and the
+# first-party `mujoco.sdf.torus` is provided built-in. Attributes
+# arrive as a dense float vector parsed from the model's plugin config
+# (ref io.py:415-442 parses the same char buffer).
+NPLUGINATTR = 16
+
+_SDF_PLUGINS: dict = {}
+
+
+def register_sdf_plugin(name: str, fn) -> None:
+  """Register `fn(p (3,), attr (NPLUGINATTR,)) -> signed distance` as
+  the SDF for MuJoCo geom plugin `name` (e.g. 'mujoco.sdf.gear').
+  `fn` must be jnp-traceable; gradients come from jax.grad (the
+  reference requires a hand-written user_sdf_grad too,
+  ref collision_sdf.py:244)."""
+  _SDF_PLUGINS[name] = fn
+
+
+def _torus_sdf(p, attr):
+  """mujoco.sdf.torus: attr = (radius1 major, radius2 minor)."""
+  q = _safe_norm(p[:2]) - attr[0]
+  return _safe_norm(jnp.stack([q, p[2]])) - attr[1]
+
+
+register_sdf_plugin('mujoco.sdf.torus', _torus_sdf)
+
 
 def _safe_norm(v):
   """|v| with a NaN-free gradient at v = 0 (jax.grad of sqrt(0) is NaN;
@@ -98,32 +129,49 @@ def _transformed_aabb(center, half, pos, mat):
 
 
 def sdf_pair_collider(m: Model, t1: int, t2: int, did1: int, did2: int,
-                      ninit: int, iters: int):
+                      ninit: int, iters: int,
+                      plug1: str = '', plug2: str = ''):
   """Collider for one (type1, type2) family; voxel grids arrive as
   ARGUMENTS (None when that side is a primitive), so ONE traced descent
   program serves every mesh-data subgroup — per-(did1, did2) closures
   multiplied the XLA program by the number of mesh pairs and took the
   aloha_sdf collision-stage compile past 10 minutes.
-  Returns fn(p1, m1, s1, aabb1, grid1, gaabb1, p2, m2, s2, aabb2,
-  grid2, gaabb2) -> (dist (ninit,), pos (ninit, 3), frame (ninit, 3,
-  3)); grid* are (R, R, R) values + (2, 3) center/half, or None."""
-  has_g1 = t1 in (GeomType.MESH, GeomType.SDF) and did1 >= 0
-  has_g2 = t2 in (GeomType.MESH, GeomType.SDF) and did2 >= 0
+  plug1/plug2 name a registered geom SDF plugin for that side (the
+  analytic plugin distance replaces the voxel grid — ref
+  collision_sdf.py:390-404 dispatches SDF geoms to user_sdf).
+  Returns fn(p1, m1, s1, aabb1, grid1, gaabb1, attr1, p2, m2, s2,
+  aabb2, grid2, gaabb2, attr2) -> (dist (ninit,), pos (ninit, 3),
+  frame (ninit, 3, 3)); grid* are (R, R, R) values + (2, 3)
+  center/half, or None; attr* are (NPLUGINATTR,) plugin attributes."""
+  has_g1 = (t1 in (GeomType.MESH, GeomType.SDF) and did1 >= 0
+            and not plug1)
+  has_g2 = (t2 in (GeomType.MESH, GeomType.SDF) and did2 >= 0
+            and not plug2)
+  if plug1 and plug1 not in _SDF_PLUGINS:
+    raise NotImplementedError(
+        f'SDF plugin {plug1!r} not registered (register_sdf_plugin)')
+  if plug2 and plug2 not in _SDF_PLUGINS:
+    raise NotImplementedError(
+        f'SDF plugin {plug2!r} not registered (register_sdf_plugin)')
 
   # Halton-scattered unit-cube points (reference uses bases 2/3/5)
   h = np.array([[_halton(i, 2), _halton(i, 3), _halton(i, 5)]
                 for i in range(ninit)], np.float32)
 
-  def fn(p1, m1, s1, aabb1, grid1, gaabb1, p2, m2, s2, aabb2, grid2,
-         gaabb2):
+  def fn(p1, m1, s1, aabb1, grid1, gaabb1, attr1, p2, m2, s2, aabb2,
+         grid2, gaabb2, attr2):
     dtype = p1.dtype
 
     def sdf1(p):
+      if plug1:
+        return _SDF_PLUGINS[plug1](p, attr1)
       if has_g1:
         return _grid_sdf(grid1, gaabb1[0], gaabb1[1], p)
       return _primitive_sdf(t1, p, s1)
 
     def sdf2(p):
+      if plug2:
+        return _SDF_PLUGINS[plug2](p, attr2)
       if has_g2:
         return _grid_sdf(grid2, gaabb2[0], gaabb2[1], p)
       return _primitive_sdf(t2, p, s2)

@@ -67,7 +67,29 @@ def _validate(mjm: mujoco.MjModel):
     from . import flex as flex_mod
     flex_mod.validate(mjm)
   if mjm.nplugin:
-    raise NotImplementedError('plugins not yet supported')
+    # geom (SDF) plugins only — the reference's envelope exactly
+    # (ref io.py:132-139 rejects body/actuator/sensor plugins, then
+    # io.py:415-442 keeps geom plugins for the SDF collider)
+    if (mjm.body_plugin != -1).any():
+      raise NotImplementedError('body plugins not supported')
+    if (mjm.actuator_plugin != -1).any():
+      raise NotImplementedError('actuator plugins not supported')
+    if (mjm.sensor_plugin != -1).any():
+      raise NotImplementedError('sensor plugins not supported')
+    slot_names = _plugin_slot_names()
+    for g in range(mjm.ngeom):
+      p = int(mjm.geom_plugin[g])
+      if p < 0:
+        continue
+      if mjm.geom_type[g] != types.GeomType.SDF:
+        raise NotImplementedError(
+            f'geom {g}: plugins are only supported on sdf geoms')
+      name = slot_names.get(int(mjm.plugin[p]))
+      if name is None:
+        raise NotImplementedError(
+            f'geom {g}: its plugin is not a registered SDF plugin '
+            f'(collision_sdf.register_sdf_plugin); registered: '
+            f'{sorted(slot_names.values())}')
   from . import sensor as sensor_mod
   for s in range(mjm.nsensor):
     if mjm.sensor_type[s] not in sensor_mod.SUPPORTED_SENSORS:
@@ -634,6 +656,60 @@ def _voxelize_mesh_grid(mjm: mujoco.MjModel, meshid: int,
   return grid, aabb
 
 
+def _plugin_slot_names() -> dict:
+  """Global plugin-registry slot -> plugin name, for every name in the
+  SDF plugin registry. The python bindings expose no slot->name API, so
+  each registered name is probed by loading a one-instance model — the
+  reference's own test registry learns slot ids the same way
+  (ref test_data/collision_sdf/utils.py:44-70 register_sdf_plugins)."""
+  from . import collision_sdf
+  out = {}
+  for name in collision_sdf._SDF_PLUGINS:
+    xml = (f'<mujoco><extension><plugin plugin="{name}">'
+           f'<instance name="i0"/></plugin></extension></mujoco>')
+    try:
+      pm = mujoco.MjModel.from_xml_string(xml)
+    except Exception:
+      continue  # registered name not available in this mujoco build
+    out[int(pm.plugin[0])] = name
+  return out
+
+
+def _geom_plugins(mjm: mujoco.MjModel):
+  """Per-geom plugin names (static tuple, '' = none) + parsed float
+  attribute table (ngeom, NPLUGINATTR). MuJoCo stores plugin config
+  values as NUL-separated char strings in plugin_attr
+  (ref io.py:415-442 parses the same buffer into vec_pluginattr)."""
+  from . import collision_sdf
+  names = [''] * mjm.ngeom
+  attrs = np.zeros((max(mjm.ngeom, 1), collision_sdf.NPLUGINATTR),
+                   np.float32)
+  if mjm.nplugin == 0 or (mjm.geom_plugin == -1).all():
+    return tuple(names), attrs
+  slot_names = _plugin_slot_names()
+  raw = np.asarray(mjm.plugin_attr).astype(np.uint8).tobytes()
+  for g in range(mjm.ngeom):
+    p = int(mjm.geom_plugin[g])
+    if p < 0:
+      continue
+    names[g] = slot_names.get(int(mjm.plugin[p]), '')
+    start = int(mjm.plugin_attradr[p])
+    end = (int(mjm.plugin_attradr[p + 1]) if p + 1 < mjm.nplugin
+           else len(raw))
+    vals = []
+    for tok in raw[start:end].split(b'\0'):
+      tok = tok.strip()
+      if not tok:
+        continue
+      try:
+        vals.append(float(tok))
+      except ValueError:
+        vals.append(0.0)  # non-numeric config values have no SDF role
+    k = min(len(vals), collision_sdf.NPLUGINATTR)
+    attrs[g, :k] = vals[:k]
+  return tuple(names), attrs
+
+
 def _build_sdf_grids(mjm: mujoco.MjModel):
   """Voxel SDF grids for every mesh participating in an SDF collision
   pair. Returns (grids (n, R, R, R), aabbs (n, 2, 3), meshid->grid map)."""
@@ -645,11 +721,12 @@ def _build_sdf_grids(mjm: mujoco.MjModel):
   if not sdf_geoms:
     return (np.zeros((1, 1, 1, 1), np.float32),
             np.zeros((1, 2, 3), np.float32), grid_of_mesh)
-  # meshes needing grids: every SDF geom's mesh + every plain mesh that
-  # can pair with an SDF geom (conservatively: all meshes)
+  # meshes needing grids: every non-plugin SDF geom's mesh (a plugin
+  # geom uses its analytic registered distance instead) + every plain
+  # mesh that can pair with an SDF geom
   need = set()
   for g in sdf_geoms:
-    if mjm.geom_dataid[g] >= 0:
+    if mjm.geom_dataid[g] >= 0 and mjm.geom_plugin[g] < 0:
       need.add(int(mjm.geom_dataid[g]))
   for g in range(mjm.ngeom):
     if (mjm.geom_type[g] != types.GeomType.MESH or
@@ -662,6 +739,9 @@ def _build_sdf_grids(mjm: mujoco.MjModel):
           (mjm.geom_contype[h] & mjm.geom_conaffinity[g])):
         need.add(int(mjm.geom_dataid[g]))
         break
+  if not need:  # all SDF geoms plugin-backed, no mesh partners
+    return (np.zeros((1, 1, 1, 1), np.float32),
+            np.zeros((1, 2, 3), np.float32), grid_of_mesh)
   grids, aabbs = [], []
   for meshid in sorted(need):
     if mjm.mesh_octadr[meshid] >= 0:
@@ -714,6 +794,7 @@ def _hfield_data(mjm: mujoco.MjModel) -> np.ndarray:
 def put_model(mjm: mujoco.MjModel) -> Model:
   _validate(mjm)
   _sdf_grids_cached = _build_sdf_grids(mjm)
+  _geom_plugins_cached = _geom_plugins(mjm)
   _mesh_faces_cached = _mesh_faces(mjm)
   from . import flex as flex_mod
   flex_meta, flex_leaves = flex_mod.build(mjm)
@@ -1039,6 +1120,8 @@ def put_model(mjm: mujoco.MjModel) -> Model:
       sdf_grids=_jp(_sdf_grids_cached[0]),
       sdf_grid_aabb=_jp(_sdf_grids_cached[1]),
       sdf_grid_of_mesh=_tup(_sdf_grids_cached[2]),
+      geom_plugin=_geom_plugins_cached[0],
+      geom_plugin_attr=_jp(_geom_plugins_cached[1]),
       nhfield=mjm.nhfield,
       hfield_nrow=_tup(mjm.hfield_nrow),
       hfield_ncol=_tup(mjm.hfield_ncol),

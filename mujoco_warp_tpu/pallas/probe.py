@@ -103,39 +103,70 @@ def probe(key: str, build: Callable[[], None]) -> bool:
   # XLA path (the orphaned compile thread finishes harmlessly).
   # XLA compiles release the GIL, so join(timeout) works.
   budget = float(os.environ.get('MJWT_PROBE_TIMEOUT', '600'))
+  retries = int(os.environ.get('MJWT_PROBE_RETRIES', '2'))
   import threading
-  result: dict = {}
 
-  def _worker():
-    try:
-      build()
-      result['ok'] = True
-    except Exception as e:  # noqa: BLE001 - any failure → fallback
-      result['ok'] = False
-      result['err'] = f'{type(e).__name__}: {str(e)[:300]}'
+  infra = False
+  ok = False
+  err = ''
+  for attempt in range(1 + retries):
+    result: dict = {}
 
-  th = threading.Thread(target=_worker, daemon=True)
-  th.start()
-  th.join(budget)
-  if th.is_alive():
-    ok = False
-    _LOG.warning(
-        'pallas probe TIMED OUT for %s after %.0fs (MJWT_PROBE_TIMEOUT) '
-        '— falling back to the XLA path', key, budget)
-  elif result.get('ok'):
-    ok = True
+    def _worker():
+      try:
+        build()
+        result['ok'] = True
+      except Exception as e:  # noqa: BLE001 - any failure → fallback
+        result['ok'] = False
+        result['err'] = f'{type(e).__name__}: {str(e)[:300]}'
+
+    th = threading.Thread(target=_worker, daemon=True)
+    th.start()
+    th.join(budget)
+    if th.is_alive():
+      ok, err, infra = False, f'timed out after {budget:.0f}s', False
+      break
+    if result.get('ok'):
+      ok = True
+      break
+    err = result.get('err', '')
+    # transient compile-service failures (the axon remote-compile
+    # tunnel intermittently 500s) are NOT kernel rejections: retry,
+    # and never memoize them as known-bad
+    infra = _is_infra_error(err)
+    if not infra:
+      break
+    if attempt < retries:
+      _LOG.warning(
+          'pallas probe hit a transient compile-service error for %s '
+          '(attempt %d/%d), retrying: %s', key, attempt + 1,
+          1 + retries, err)
+      time.sleep(3.0 * (attempt + 1))
+  if ok:
     _LOG.info('pallas probe ok: %s (%.1fs)', key,
               time.perf_counter() - t0)
   else:
-    ok = False
     _LOG.warning(
         'pallas probe FAILED for %s after %.1fs — falling back to the '
-        'XLA path. %s', key, time.perf_counter() - t0,
-        result.get('err', ''))
+        'XLA path. %s', key, time.perf_counter() - t0, err)
   _MEMO[full_key] = ok
-  disk[full_key] = ok
-  _save_disk()
+  if ok or not infra:  # a lingering infra failure must not poison
+    disk[full_key] = ok  # future processes' memo
+    _save_disk()
   return ok
+
+
+_INFRA_MARKERS = ('remote_compile', 'HTTP 50', 'UNAVAILABLE',
+                  'DEADLINE_EXCEEDED', 'Connection refused',
+                  'Connection reset', 'Socket closed')
+
+
+def _is_infra_error(err: str) -> bool:
+  """True when a compile failure names the compile *service*, not the
+  kernel: the axon remote-compile helper intermittently returns
+  HTTP 500 / INTERNAL, which must not be recorded as a Mosaic
+  rejection (it poisons the on-disk memo for every later run)."""
+  return any(mark in err for mark in _INFRA_MARKERS)
 
 
 def probe_stage(key: str, fn, example_tree) -> bool:

@@ -353,6 +353,9 @@ _MODEL_META = (
     'nkey', 'nmesh', 'nhfield', 'hfield_nrow', 'hfield_ncol',
     'collision_pairs',   # tuple of (type1, type2, tuple[(g1, g2, pairid)])
     'sdf_grid_of_mesh',  # meshid -> sdf grid index (-1 = none)
+    # per-geom SDF plugin name ('' = none) — geom plugins are the only
+    # plugin kind the reference supports (ref io.py:132-139, 415-442)
+    'geom_plugin',
     'nxn_candidates',    # total candidate contact slots (static)
     'condim_max',
     'pair_dim',          # static condim per explicit <pair>
@@ -481,6 +484,7 @@ class Model:
   hfield_ncol: IntTuple
   collision_pairs: Tuple[Any, ...]
   sdf_grid_of_mesh: IntTuple
+  geom_plugin: Tuple[str, ...]
   nxn_candidates: int
   condim_max: int
   pair_dim: IntTuple
@@ -603,6 +607,9 @@ class Model:
   mesh_cluster_aabb: jax.Array
   sdf_grids: jax.Array
   sdf_grid_aabb: jax.Array
+  # (ngeom, collision_sdf.NPLUGINATTR) parsed plugin config floats
+  # (ref types.py:1128 plugin_attr)
+  geom_plugin_attr: jax.Array
   # (nhfield, max_nrow, max_ncol) normalized heights + (nhfield, 4) size
   hfield_data: jax.Array
   hfield_size: jax.Array

@@ -45,6 +45,8 @@ def ctrl_noise(m: Model, ctrl: jax.Array, worldid: jax.Array,
   """OU control noise with Halton quasirandomness (deterministic across
   runs, like the reference)."""
   nu = ctrl.shape[-1]
+  if nu == 0:  # passive scene (cloth): nothing to perturb
+    return ctrl
   rate = jnp.exp(-m.opt.timestep / rate_s)
   scale = std * jnp.sqrt(1.0 - rate * rate)
   limited = jnp.array(m.actuator_ctrllimited, dtype=bool)
