@@ -39,6 +39,13 @@ def parse_config(path: str | None = None) -> dict:
         nworld=int(nworld), nconmax=int(nconmax), njmax=int(njmax),
         nstep=1000 if nstep == '-' else int(nstep),
         replay=None if replay == '-' else replay)
+  # kitchen ships as a scene (ref benchmarks/kitchen) without a
+  # config.txt row; give it one so the suite can record a number for
+  # the large-scene (SAP-role) broadphase path
+  if 'kitchen' not in out:
+    out['kitchen'] = dict(
+        mjcf=os.path.join(_SCENES, 'kitchen', 'kitchen.xml'),
+        nworld=256, nconmax=64, njmax=256, nstep=100, replay=None)
   return out
 
 
