@@ -66,6 +66,13 @@ def run_config(name: str, cfg: dict, nworld: int | None = None,
   nstep = nstep or int(os.environ.get('BENCH_NSTEP', cfg['nstep']))
 
   mjm = mujoco.MjModel.from_xml_path(cfg['mjcf'])
+  # giant-nv scenes: dense efc_J (W, njmax, nv) plus the solver's
+  # J-sized temporaries exceed HBM at full batch (aloha_cloth: nv=2716
+  # -> 2.2 GB for J alone); microbatch the step over 8-world chunks
+  if mjm.nv * cfg['njmax'] * nworld * 4 > 1.5e9 and nworld % 8 == 0:
+    os.environ['MJWT_STEP_CHUNK'] = '8'
+  else:
+    os.environ.pop('MJWT_STEP_CHUNK', None)
   m = mjwt.put_model(mjm)
   d = mjwt.make_data(m, nconmax=cfg['nconmax'])
   if mjm.nkey > 0 and cfg['replay'] is None:

@@ -8,6 +8,25 @@ pjit/shard_map over a device mesh. See SURVEY.md for the layer map.
 import os as _os
 
 
+def default_cache_dir() -> str:
+  """Cache location for compiled executables + probe memos. Defaults to
+  a directory INSIDE the repo/package checkout so a warmed cache ships
+  with the source (fresh containers keep the checkout but not ~/.cache
+  — the round-4 cold-jit regression was every fresh process paying the
+  full compile because ~/.cache never survived). Falls back to ~/.cache
+  when the checkout is not writable (installed site-packages)."""
+  env = _os.environ.get('MJWT_CACHE_DIR')
+  if env:
+    return env
+  repo_cache = _os.path.join(
+      _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+      '.mjwt_cache')
+  parent = _os.path.dirname(repo_cache)
+  if _os.path.isdir(repo_cache) or _os.access(parent, _os.W_OK):
+    return repo_cache
+  return _os.path.join(_os.path.expanduser('~'), '.cache', 'mjwt_xla')
+
+
 def _enable_compilation_cache() -> None:
   """Persistent XLA/Mosaic compilation cache (reference analogue: Warp's
   kernel cache makes its graph capture 0.3s; without this every fresh
@@ -16,9 +35,7 @@ def _enable_compilation_cache() -> None:
   if _os.environ.get('MJWT_NO_CACHE', '0') == '1':
     return
   import jax
-  cache_dir = _os.environ.get(
-      'MJWT_CACHE_DIR',
-      _os.path.join(_os.path.expanduser('~'), '.cache', 'mjwt_xla'))
+  cache_dir = default_cache_dir()
   try:
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -504,10 +504,12 @@ def _make_solve_glue(m: Model, d: Data, needs_preadv: bool):
                                           mode, ell=ell)
     qfx = jax.vmap(lambda x: (x.qfrc_applied + support.xfrc_accumulate(
         m, x) - x.qfrc_bias))(dd)
+    perm, inv_perm = solver_kernels.world_sort_perm(dd.solver_niter)
     outs = run(dd.qM, dd.efc_J, dd.efc_D, dd.efc_aref,
                dd.efc_frictionloss, dd.qpos, dd.qvel, dd.ctrl, qfx,
                dd.qacc_warmstart, m.opt.tolerance, m.stat.meaninertia,
-               m.opt.timestep, con_friction, con_dim, impratio)
+               m.opt.timestep, con_friction, con_dim, impratio,
+               perm=perm, inv_perm=inv_perm)
     qpos_new, qvel_new = outs.pop('qpos'), outs.pop('qvel')
     dd = dd.replace(**outs)
     if not needs_preadv:
@@ -792,7 +794,30 @@ def _rk4_batched(m: Model, d: Data) -> Data:
 
 @named('step')
 def step_batched(m: Model, d: Data) -> Data:
-  """Batched step: the perf path. d carries a leading world axis."""
+  """Batched step: the perf path. d carries a leading world axis.
+
+  MJWT_STEP_CHUNK=<w>: run the step over <w>-world microbatches via
+  ``lax.map`` — bounds peak HBM at ~W/w of the full-batch step for
+  giant-nv scenes (aloha_cloth: nv=2716 makes dense efc_J alone 2.2 GB
+  at 32 worlds; the solver's J-sized temporaries then exceed the chip).
+  Applied only when it divides the batch evenly; off by default."""
+  import os as _os
+  w = int(_os.environ.get('MJWT_STEP_CHUNK', '0'))
+  W = d.qpos.shape[0] if d.qpos.ndim == 2 else 0
+  if 0 < w < W and W % w == 0:
+    dc = jax.tree.map(
+        lambda x: x.reshape((W // w, w) + x.shape[1:])
+        if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[0] == W
+        else x, d)
+    out = jax.lax.map(lambda dd: _step_batched(m, dd), dc)
+    return jax.tree.map(
+        lambda x: x.reshape((W,) + x.shape[2:])
+        if hasattr(x, 'ndim') and x.ndim >= 2 and
+        x.shape[:2] == (W // w, w) else x, out)
+  return _step_batched(m, d)
+
+
+def _step_batched(m: Model, d: Data) -> Data:
   if _glue_gates(m, d):
     # fully-folded back half: integration happens inside solve_glue
     return _fold_stages(batched_stages(m, d, for_step=True), d)

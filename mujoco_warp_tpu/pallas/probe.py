@@ -40,10 +40,8 @@ _DISK: dict[str, bool] | None = None
 
 
 def _disk_path() -> str:
-  cache_dir = os.environ.get(
-      'MJWT_CACHE_DIR',
-      os.path.join(os.path.expanduser('~'), '.cache', 'mjwt_xla'))
-  return os.path.join(cache_dir, 'probe_memo.json')
+  from mujoco_warp_tpu import default_cache_dir
+  return os.path.join(default_cache_dir(), 'probe_memo.json')
 
 
 def _load_disk() -> dict:

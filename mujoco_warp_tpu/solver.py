@@ -685,6 +685,53 @@ def uses_fused_kernel(m: Model, d: Data) -> bool:
   return ok and _probe_fused(m, d)
 
 
+def _chunked_solve(m: Model, d: Data) -> Data | None:
+  """Big-batch XLA solve, chunked: the single batch-wide
+  ``lax.while_loop`` iterates until the SLOWEST of all W worlds
+  converges — at 8192 worlds a handful of hard worlds make the whole
+  batch pay max-iterations of full-size Hessian/Cholesky/linesearch
+  work (three_humanoids r4: 422 ms/step). Instead: sort worlds by
+  previous-step solver_niter (temporally coherent difficulty), split
+  into MJWT_SOLVER_CHUNK-world chunks, and run each chunk's while_loop
+  independently under ``lax.map`` — each chunk stops at its own
+  max-iter, so total work ~= sum of chunk maxes ~= batch mean.
+  Returns None when not applicable (small batch, single world,
+  disabled via MJWT_SOLVER_CHUNK=0)."""
+  import os as _os
+  chunk = int(_os.environ.get('MJWT_SOLVER_CHUNK', '1024'))
+  if (chunk <= 0 or d.qpos.ndim != 2 or
+      _os.environ.get('MJWT_SORT_WORLDS', '1') != '1'):
+    return None
+  W = d.qpos.shape[0]
+  if W < 2 * chunk:
+    return None
+  nchunk = -(-W // chunk)
+  wpad = nchunk * chunk
+  perm = jnp.argsort(d.solver_niter)
+  if wpad != W:  # pad with repeats of the easiest world; extras dropped
+    perm = jnp.concatenate(
+        [perm, jnp.broadcast_to(perm[:1], (wpad - W,))])
+  idx = perm.reshape(nchunk, chunk)
+
+  def one_chunk(ix):
+    dd = jax.tree.map(
+        lambda x: jnp.take(x, ix, axis=0)
+        if (hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[0] == W)
+        else x, d)
+    out = _solve_xla(m, dd)
+    return (out.qacc, out.qfrc_constraint, out.efc_force,
+            out.solver_niter)
+
+  qacc, qfc, force, niter = jax.lax.map(one_chunk, idx)
+  # sorted row j (j < W) is world perm[j]; pad rows are dropped
+  inv = jnp.argsort(perm[:W])
+  unchunk = lambda x: jnp.take(
+      x.reshape((wpad,) + x.shape[2:])[:W], inv, axis=0)
+  return d.replace(qacc=unchunk(qacc), qfrc_constraint=unchunk(qfc),
+                   efc_force=unchunk(force),
+                   solver_niter=unchunk(niter))
+
+
 def solve(m: Model, d: Data) -> Data:
   """Entry point (reference solver.py:3296). Works single-world
   ((nj, nv) arrays) or batch-native ((W, nj, nv) arrays)."""
@@ -700,12 +747,24 @@ def solve(m: Model, d: Data) -> Data:
   if uses_fused_kernel(m, d):
     from .pallas import solver_kernels
     args, static = _fused_args(m, d)
+    perm, inv_perm = solver_kernels.world_sort_perm(d.solver_niter)
     qacc, qfc, force, niter, qacc_smooth, qld, qacc_euler = (
-        solver_kernels.newton_solve_batched(*args, **static))
+        solver_kernels.newton_solve_batched(*args, perm, inv_perm,
+                                            **static))
     return d.replace(qacc=qacc, qfrc_constraint=qfc, efc_force=force,
                      solver_niter=niter, qacc_smooth=qacc_smooth,
                      qLD=qld, qacc_euler=qacc_euler)
 
+  d_chunked = _chunked_solve(m, d)
+  if d_chunked is not None:
+    return d_chunked
+  return _solve_xla(m, d)
+
+
+def _solve_xla(m: Model, d: Data) -> Data:
+  """The XLA-level Newton/CG solve (one while_loop over the batch)."""
+  dtype = d.qpos.dtype
+  batch_shape = d.qpos.shape[:-1]
   if m.opt.disableflags & DisableBit.WARMSTART:
     qacc = d.qacc_smooth
   else:

@@ -1,0 +1,73 @@
+"""World-difficulty sorting for the lane-blocked Newton kernels.
+
+Each 128-lane block of the fused solver iterates until ITS worlds
+converge, so grouping worlds by previous-step solver_niter makes
+block-max iterations ~= block-mean (round-4 profile: block max 6.5 vs
+mean 2.8 on humanoid@8192). The permutation is applied to every kernel
+input and inverted on every output — results must be exactly
+order-preserving.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_warp_tpu.pallas import solver_kernels as sk
+
+
+def test_world_sort_perm_roundtrip():
+  niter = jnp.asarray(np.random.default_rng(0).integers(0, 9, 300),
+                      jnp.int32)
+  perm, inv = sk.world_sort_perm(niter)
+  assert perm is not None
+  x = jnp.arange(300)
+  np.testing.assert_array_equal(np.asarray(x[perm][inv]), np.asarray(x))
+  # sorted grouping: niter non-decreasing along the permuted order
+  sorted_n = np.asarray(niter[perm])
+  assert (np.diff(sorted_n) >= 0).all()
+
+
+def test_world_sort_perm_disabled_small_batch():
+  niter = jnp.zeros(64, jnp.int32)
+  perm, inv = sk.world_sort_perm(niter)
+  assert perm is None and inv is None
+
+
+def test_world_sort_perm_env_off(monkeypatch):
+  monkeypatch.setenv('MJWT_SORT_WORLDS', '0')
+  niter = jnp.zeros(300, jnp.int32)
+  perm, inv = sk.world_sort_perm(niter)
+  assert perm is None and inv is None
+
+
+def test_newton_solve_perm_invariance():
+  """Fused Newton solve with a world permutation returns results in the
+  ORIGINAL world order (perm is applied to inputs, inverted on
+  outputs)."""
+  rng = np.random.default_rng(1)
+  W, nv, nj = 260, 2, 3
+  a = rng.standard_normal((W, nv, nv)).astype(np.float32)
+  qm = a @ np.swapaxes(a, 1, 2) + 2.0 * np.eye(nv, dtype=np.float32)
+  efc_j = rng.standard_normal((W, nj, nv)).astype(np.float32)
+  efc_d = np.abs(rng.standard_normal((W, nj))).astype(np.float32) + 0.5
+  aref = rng.standard_normal((W, nj)).astype(np.float32)
+  fl = np.zeros((W, nj), np.float32)
+  qfs = rng.standard_normal((W, nv)).astype(np.float32)
+  ws = np.zeros((W, nv), np.float32)
+  tol = jnp.float32(1e-8)
+  mi = jnp.float32(1.0)
+
+  args = tuple(jnp.asarray(x) for x in
+               (qm, efc_j, efc_d, aref, fl, qfs, ws))
+  static = dict(ne=0, nf=0, iterations=10, interpret=True)
+
+  base = sk.newton_solve_batched(*args, tol, mi, **static)
+  perm = jnp.asarray(rng.permutation(W), jnp.int32)
+  inv = jnp.argsort(perm)
+  permed = sk.newton_solve_batched(*args, tol, mi, None, None, None,
+                                   None, perm, inv, **static)
+  for b, p in zip(base, permed):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(p),
+                               rtol=0, atol=1e-6)
