@@ -108,6 +108,7 @@ def spd_solve_batched(a: jax.Array, b: jax.Array,
   lower Cholesky if return_factor). Pads W to a lane multiple.
   """
   w, nv, _ = a.shape
+  _vmem_gate(nv, 'spd_solve_batched')
   wpad = -(-w // LANES) * LANES
   # batch-last layout for lanes
   at = jnp.moveaxis(a, 0, -1)              # (nv, nv, W)
@@ -176,6 +177,7 @@ def _solve_from_factor_body(nv: int, l_ref, b_ref, x_ref):
 def cho_solve_batched(l: jax.Array, b: jax.Array) -> jax.Array:
   """Solve A x = b from the precomputed lower factor L (W, nv, nv)."""
   w, nv, _ = l.shape
+  _vmem_gate(nv, 'cho_solve_batched')
   wpad = -(-w // LANES) * LANES
   lt = jnp.moveaxis(l, 0, -1)
   bt = jnp.moveaxis(b, 0, -1)
@@ -370,6 +372,7 @@ def tree_solve_from_factor_batched(ld: jax.Array, b: jax.Array,
   """Solve from a packed tree-LDL factor (W, nv, nv) as returned by
   tree_ldl_solve_batched(return_factor=True)."""
   w, nv, _ = ld.shape
+  _vmem_gate(nv, 'tree_solve_from_factor_batched')
   anc = dof_ancestors(parentid)
   wpad = -(-w // LANES) * LANES
   lt = jnp.moveaxis(ld, 0, -1)

@@ -1661,6 +1661,11 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
       jnp.zeros((1, 1), dt),
   ]
 
+  from . import probe as _probe
+  _probe.vmem_ok(  # PL006 static estimate of the dominant windows
+      f'contact_efc ncand{ncand} njmax{njmax}',
+      (ncand, 14, LANES), (njmax, nv + 8, LANES), (ng, 12, LANES),
+      (nv, 6, LANES))
   vm = pltpu.VMEM
   const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=vm)

@@ -101,7 +101,7 @@ def probe(key: str, build: Callable[[], None]) -> bool:
   # XLA path (the orphaned compile thread finishes harmlessly).
   # XLA compiles release the GIL, so join(timeout) works.
   budget = float(os.environ.get('MJWT_PROBE_TIMEOUT', '600'))
-  retries = int(os.environ.get('MJWT_PROBE_RETRIES', '2'))
+  retries = int(os.environ.get('MJWT_PROBE_RETRIES', '4'))
   import threading
 
   infra = False
@@ -139,7 +139,7 @@ def probe(key: str, build: Callable[[], None]) -> bool:
           'pallas probe hit a transient compile-service error for %s '
           '(attempt %d/%d), retrying: %s', key, attempt + 1,
           1 + retries, err)
-      time.sleep(3.0 * (attempt + 1))
+      time.sleep(6.0 * (attempt + 1))
   if ok:
     _LOG.info('pallas probe ok: %s (%.1fs)', key,
               time.perf_counter() - t0)
@@ -165,6 +165,37 @@ def _is_infra_error(err: str) -> bool:
   HTTP 500 / INTERNAL, which must not be recorded as a Mosaic
   rejection (it poisons the on-disk memo for every later run)."""
   return any(mark in err for mark in _INFRA_MARKERS)
+
+
+def vmem_window_mb(*block_shapes, dtype_bytes: int = 4,
+                   double_buffered: bool = True) -> float:
+  """Static estimate of a kernel's per-grid-step VMEM residency in MB:
+  the sum of its windowed blocks (in/out specs + scratch), doubled for
+  the pipeline's double buffering. v5e VMEM is 128 MB; Mosaic rejects
+  (or the compile helper dies on) kernels that demand more — estimate
+  up-front so dispatch can take the XLA path without burning a probe."""
+  total = 0
+  for shp in block_shapes:
+    n = 1
+    for s in shp:
+      n *= int(s)
+    total += n * dtype_bytes
+  return total * (2 if double_buffered else 1) / 1e6
+
+
+def vmem_ok(name: str, *block_shapes, budget_mb: float | None = None,
+            **kw) -> bool:
+  """True when vmem_window_mb fits the budget (MJWT_VMEM_BUDGET_MB,
+  default 100 of the chip's 128); logs when it doesn't."""
+  if budget_mb is None:
+    budget_mb = float(os.environ.get('MJWT_VMEM_BUDGET_MB', '100'))
+  mb = vmem_window_mb(*block_shapes, **kw)
+  if mb > budget_mb:
+    _LOG.warning(
+        '%s: estimated VMEM windows ~%.0f MB exceed the ~%.0f MB '
+        'budget — using the XLA path', name, mb, budget_mb)
+    return False
+  return True
 
 
 def probe_stage(key: str, fn, example_tree) -> bool:

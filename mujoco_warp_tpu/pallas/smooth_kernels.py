@@ -253,6 +253,9 @@ def com_pos_batched(m: Model, xpos: jax.Array, xquat: jax.Array,
   xanchor_t, xaxis_t = pad(bl(xanchor)), pad(bl(xaxis))
   nb, nj, nv = m.nbody, max(m.njnt, 1), max(m.nv, 1)
 
+  from . import probe as _probe
+  _probe.vmem_ok('com_pos_batched',  # PL006 static estimate
+                 (nb, 17, LANES), (nj, 7, LANES), (nv, 6, LANES))
   kernel = functools.partial(_com_pos_kernel, m)
   vm = pltpu.VMEM
   outs = pl.pallas_call(
@@ -358,6 +361,9 @@ def crb_batched(m: Model, cinert: jax.Array, cdof: jax.Array):
   cd_t = pad(bl(cdof))
   nb, nv = m.nbody, max(m.nv, 1)
 
+  from . import probe as _probe
+  _probe.vmem_ok('crb_batched',  # PL006 static estimate
+                 (nb, 20, LANES), (nv, 6, LANES), (nv, nv, LANES))
   kernel = functools.partial(_crb_kernel, m)
   vm = pltpu.VMEM
   crb, qm = pl.pallas_call(
@@ -571,6 +577,11 @@ def smooth_mega_batched(m: Model, qpos: jax.Array, qvel: jax.Array,
   mp, mq = _mocap_lanes(m, mocap, wpad, dt)
   del bl, pad3
 
+  from . import probe as _probe
+  _probe.vmem_ok('smooth_mega_batched',  # PL006 static estimate of the
+                 # dominant windows (bodies/joints/geoms/sites + qM)
+                 (nb, 63, LANES), (nj, 6, LANES), (nv, 18, LANES),
+                 (ng, 12, LANES), (ns, 12, LANES), (nv, nv, LANES))
   kernel = functools.partial(_smooth_mega_kernel, m)
   vm = pltpu.VMEM
   const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -661,6 +672,10 @@ def smooth_front_batched(m: Model, qpos: jax.Array):
     qt = jnp.pad(qt, ((0, 0), (0, wpad - W)))
   nb, nj, nv = m.nbody, max(m.njnt, 1), max(m.nv, 1)
 
+  from . import probe as _probe
+  _probe.vmem_ok('smooth_front_batched',  # PL006 static estimate
+                 (nb, 33, LANES), (nj, 6, LANES), (nv, 7, LANES),
+                 (nv, nv, LANES))
   kernel = functools.partial(_smooth_front_kernel, m)
   vm = pltpu.VMEM
   const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -716,6 +731,9 @@ def kinematics_batched(m: Model, qpos: jax.Array):
     qt = jnp.pad(qt, ((0, 0), (0, wpad - W)))
   nb, nj = m.nbody, max(m.njnt, 1)
 
+  from . import probe as _probe
+  _probe.vmem_ok('kinematics_batched',  # PL006 static estimate
+                 (nb, 7, LANES), (nj, 6, LANES), (nq, 1, LANES))
   kernel = functools.partial(_kinematics_kernel, m)
   grid = (wpad // LANES,)
   vm = pltpu.VMEM

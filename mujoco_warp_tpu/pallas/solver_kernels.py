@@ -547,6 +547,10 @@ def newton_solve_batched(qm, efc_j, efc_d, efc_aref, efc_fl, qfrc_smooth,
   W, nj, nv = efc_j.shape
   wpad = -(-W // LANES) * LANES
   dt = qm.dtype
+  from . import probe as _probe
+  _probe.vmem_ok(f'newton_solve nv{nv} nj{nj}',  # PL006 static estimate
+                 (nv, nv, LANES), (nj, nv, LANES), (nv, nj, LANES),
+                 (nv, nj, LANES), (nv, nv, LANES), (nv, nv, LANES))
 
   def bl(x):
     if perm is not None:
@@ -1061,6 +1065,10 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
     W = qm.shape[0]
     wpad = -(-W // LANES) * LANES
     dt = qm.dtype
+    from . import probe as _probe
+    _probe.vmem_ok(f'glue nv{nv} nj{nj}',  # PL006 static estimate
+                   (nv, nv, LANES), (nj, nv, LANES), (nv, nj, LANES),
+                   (nv, nj, LANES), (nv, nv, LANES), (nv, nv, LANES))
 
     def bl(x):
       if perm is not None:

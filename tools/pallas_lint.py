@@ -106,6 +106,21 @@ class Linter(ast.NodeVisitor):
                    f'{f.attr} with non-integer dtype {dname!r}: '
                    'Mosaic tpu.iota must be integer — use int32 iota '
                    '+ .astype(...)')
+    # PL006: pallas_call whose enclosing function never consults a VMEM
+    # estimate/gate — kernels that demand more than the chip's 128 MB
+    # VMEM die in Mosaic or the compile helper (round-3 cloth nv=2706:
+    # 3.7 GB windows); dispatchers must check probe.vmem_ok /
+    # batch_linalg._vmem_gate (or annotate `pallas-lint: ok`)
+    if isinstance(f, ast.Attribute) and f.attr == 'pallas_call':
+      enclosing = self._fn_stack[-1] if self._fn_stack else None
+      has_gate = enclosing is not None and any(
+          'vmem' in n.lower() for n in _names_in(enclosing)
+          if n not in ('VMEM',))
+      if not has_gate:
+        self._emit('PL006', node,
+                   'pallas_call with no VMEM window estimate in the '
+                   'dispatching function (probe.vmem_ok) — oversize '
+                   'windows crash the Mosaic compile')
     if (isinstance(f, ast.Attribute) and f.attr == 'device_get' and
         self._fn_stack and
         not any(fn.name.startswith(('build', '_build', 'make', '_make'))
