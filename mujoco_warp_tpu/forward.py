@@ -505,17 +505,26 @@ def _make_solve_glue(m: Model, d: Data, needs_preadv: bool):
     qfx = jax.vmap(lambda x: (x.qfrc_applied + support.xfrc_accumulate(
         m, x) - x.qfrc_bias))(dd)
     perm, inv_perm = solver_kernels.world_sort_perm(dd.solver_niter)
+    ext = {}
+    if m.na:
+      ext['act'] = dd.act
+    if m.ntendon:
+      ext['ten_length'] = dd.ten_length
+      ext['ten_j'] = dd.ten_J
     outs = run(dd.qM, dd.efc_J, dd.efc_D, dd.efc_aref,
                dd.efc_frictionloss, dd.qpos, dd.qvel, dd.ctrl, qfx,
                dd.qacc_warmstart, m.opt.tolerance, m.stat.meaninertia,
                m.opt.timestep, con_friction, con_dim, impratio,
-               perm=perm, inv_perm=inv_perm)
+               perm=perm, inv_perm=inv_perm, **ext)
     qpos_new, qvel_new = outs.pop('qpos'), outs.pop('qvel')
+    act_new = outs.pop('act', None)
     dd = dd.replace(**outs)
     if not needs_preadv:
       dd = dd.replace(qpos=qpos_new, qvel=qvel_new,
                       time=dd.time + m.opt.timestep,
                       qacc_warmstart=dd.qacc)
+      if act_new is not None:
+        dd = dd.replace(act=act_new)
     return dd
   return solve_glue
 
@@ -581,6 +590,13 @@ def _glue_stages(m: Model, d: Data) -> list:
       lambda dd: _smooth_mega_batched(m, dd, interpret=interp))
   if m.ncam or m.nlight:
     add('camlight', vm(smooth.camlight))
+  if m.ntendon:
+    # tendon lengths/Jacobians feed the glue kernel's tendon
+    # transmission + passive terms; armature/bias no-op without
+    # tendon_armature
+    add('tendon', vm(smooth.tendon))
+    add('tendon_armature', vm(smooth.tendon_armature))
+    add('tendon_bias', vm(smooth.tendon_bias))
   from .pallas import contact_kernels
   nconmax = d.contact.dist.shape[-1]
   use_cmega = (m.opt.run_collision_detection and nconmax > 0 and
@@ -600,15 +616,46 @@ def _glue_stages(m: Model, d: Data) -> list:
   if m.nu:
     # actuator length/velocity via static joint gathers (Data parity +
     # actuatorpos/vel sensors); moment is constant for scalar-joint
-    # transmission and prefilled by make_data
-    jids = np.asarray([m.actuator_trnid[u][0] for u in range(m.nu)])
+    # transmission and prefilled by make_data; tendon actuators read
+    # ten_length/ten_J instead (moment = gear * ten_J)
+    from .types import TrnType
+    is_ten = np.asarray([m.actuator_trntype[u] == TrnType.TENDON
+                         for u in range(m.nu)])
+    jids = np.asarray([0 if is_ten[u] else int(m.actuator_trnid[u][0])
+                       for u in range(m.nu)])
+    tids = np.asarray([int(m.actuator_trnid[u][0]) if is_ten[u] else 0
+                       for u in range(m.nu)])
     qadr = np.asarray(m.jnt_qposadr)[jids]
     dadr = np.asarray(m.jnt_dofadr)[jids]
+    if is_ten.any():
+      # static one-hot gear moments for the joint rows (built here at
+      # stage-build time — device_get inside the traced stage would be
+      # the BENCH_r02 crash class)
+      mom_joint = np.zeros((m.nu, m.nv), np.float32)
+      g0_np = np.asarray(jax.device_get(m.actuator_gear))[:, 0]  # pallas-lint: ok(stage-build time)
+      for u in range(m.nu):
+        if not is_ten[u]:
+          mom_joint[u, dadr[u]] = g0_np[u]
 
     def act_len_vel(dd):
       gear0 = m.actuator_gear[:, 0][None]
-      return dd.replace(actuator_length=dd.qpos[:, qadr] * gear0,
-                        actuator_velocity=dd.qvel[:, dadr] * gear0)
+      length = dd.qpos[:, qadr]
+      velocity = dd.qvel[:, dadr]
+      if is_ten.any():
+        tvel = jnp.einsum('wtn,wn->wt', dd.ten_J, dd.qvel, **_EINSUM)
+        sel = jnp.asarray(is_ten)[None]
+        length = jnp.where(sel, dd.ten_length[:, tids], length)
+        velocity = jnp.where(sel, tvel[:, tids], velocity)
+        # joint rows: static one-hot gear at the dof; tendon rows:
+        # gear * ten_J (make_data's scalar-joint prefill does not run
+        # for mixed transmissions)
+        moment = jnp.where(
+            jnp.asarray(is_ten)[None, :, None],
+            gear0[..., None] * dd.ten_J[:, tids],
+            jnp.asarray(mom_joint)[None])
+        dd = dd.replace(actuator_moment=moment)
+      return dd.replace(actuator_length=length * gear0,
+                        actuator_velocity=velocity * gear0)
     add('act_len_vel', act_len_vel)
   add('sensor_pos', vm(sensor_mod.sensor_pos))
   if m.opt.enableflags & 2:  # EnableBit.ENERGY

@@ -710,29 +710,46 @@ def hessian_cover(m):
 
 
 def glue_supported(m) -> bool:
-  """Static model-feature check for the folded back half: stateless
-  affine actuators on scalar joints, scalar springs + dof dampers only,
-  Euler integrator. Anything richer uses the XLA glue stages."""
+  """Static model-feature check for the folded back half. Covered:
+  affine actuators on scalar joints; tendon transmission (fixed or
+  spatial, ten_J/ten_length as kernel inputs); muscle FLV gain/bias +
+  activation dynamics (NONE/INTEGRATOR/FILTER/MUSCLE, one state per
+  actuator); scalar joint + tendon springs/dampers. Anything richer
+  (flex, gravcomp, fluid, FILTEREXACT, slider-crank...) uses the XLA
+  glue stages. Tendons/activation states fold only under EULER — their
+  implicitfast qDeriv terms are not in-kernel."""
   from ..types import (BiasType, DisableBit, DynType, GainType,
                        IntegratorType, JointType, TrnType)
   if m.opt.integrator not in (IntegratorType.EULER,
                               IntegratorType.IMPLICITFAST):
     return False
-  if m.na or m.ntendon or m.flex_meta.nflex:
+  if m.flex_meta.nflex:
+    return False
+  if ((m.na or m.ntendon) and
+      m.opt.integrator != IntegratorType.EULER):
     return False
   if m.ngravcomp or m.fluid_active:
     return False
   for u in range(m.nu):
-    if m.actuator_trntype[u] != TrnType.JOINT:
+    if m.actuator_trntype[u] == TrnType.JOINT:
+      if m.jnt_type[m.actuator_trnid[u][0]] not in (JointType.SLIDE,
+                                                    JointType.HINGE):
+        return False
+    elif m.actuator_trntype[u] == TrnType.TENDON:
+      pass  # ten_length/ten_J arrive as kernel inputs
+    else:
       return False
-    if m.jnt_type[m.actuator_trnid[u][0]] not in (JointType.SLIDE,
-                                                  JointType.HINGE):
+    if m.actuator_gaintype[u] not in (GainType.FIXED, GainType.AFFINE,
+                                      GainType.MUSCLE):
       return False
-    if m.actuator_gaintype[u] not in (GainType.FIXED, GainType.AFFINE):
+    if m.actuator_biastype[u] not in (BiasType.NONE, BiasType.AFFINE,
+                                      BiasType.MUSCLE):
       return False
-    if m.actuator_biastype[u] not in (BiasType.NONE, BiasType.AFFINE):
+    if m.actuator_dyntype[u] not in (DynType.NONE, DynType.INTEGRATOR,
+                                     DynType.FILTER, DynType.MUSCLE):
       return False
-    if m.actuator_dyntype[u] != DynType.NONE:
+    if (m.actuator_dyntype[u] != DynType.NONE and
+        m.actuator_actnum[u] != 1):
       return False
   # batched ("*"-leading) or traced Model leaves can't bake into the
   # kernel's static tables — fall back to the XLA glue stages
@@ -764,10 +781,21 @@ def _glue_static(m):
   spring_on = not (dis & DisableBit.SPRING)
   damper_on = not (dis & DisableBit.DAMPER)
 
+  from ..types import TrnType
   gear = _np_leaf(m.actuator_gear)[:, 0] if nu else np.zeros((0,))
-  jids = [int(m.actuator_trnid[u][0]) for u in range(nu)]
-  act_qadr = tuple(int(m.jnt_qposadr[j]) for j in jids)
-  act_dadr = tuple(int(m.jnt_dofadr[j]) for j in jids)
+  is_tendon = tuple(
+      int(m.actuator_trntype[u]) == TrnType.TENDON for u in range(nu))
+  # joint-transmission address tables (tendon actuators get -1 slots;
+  # their length/moment come from the ten_length/ten_J kernel inputs)
+  jids = [(-1 if is_tendon[u] else int(m.actuator_trnid[u][0]))
+          for u in range(nu)]
+  act_qadr = tuple(
+      0 if j < 0 else int(m.jnt_qposadr[j]) for j in jids)
+  act_dadr = tuple(
+      -1 if j < 0 else int(m.jnt_dofadr[j]) for j in jids)
+  act_tid = tuple(
+      int(m.actuator_trnid[u][0]) if is_tendon[u] else -1
+      for u in range(nu))
 
   ctrlrange = _np_leaf(m.actuator_ctrlrange) if nu else np.zeros((0, 2))
   climited = _np_leaf(m.actuator_ctrllimited).astype(bool) if nu else []
@@ -776,16 +804,41 @@ def _glue_static(m):
   ctrl_hi = np.where(clampctrl & np.asarray(climited, bool),
                      ctrlrange[:, 1], _BIG) if nu else np.zeros((0,))
 
-  from ..types import BiasType, GainType
-  gp = _np_leaf(m.actuator_gainprm) if nu else np.zeros((0, 3))
-  bp = _np_leaf(m.actuator_biasprm) if nu else np.zeros((0, 3))
+  from ..types import BiasType, DynType, GainType
+  gp = _np_leaf(m.actuator_gainprm) if nu else np.zeros((0, 10))
+  bp = _np_leaf(m.actuator_biasprm) if nu else np.zeros((0, 10))
   gts = np.asarray([int(t) for t in m.actuator_gaintype], np.int64)
   bts = np.asarray([int(t) for t in m.actuator_biastype], np.int64)
   gain3 = np.where((gts == GainType.AFFINE)[:, None], gp[:, :3],
                    np.concatenate([gp[:, :1],
-                                   np.zeros((nu, 2))], axis=1)) if nu else gp
+                                   np.zeros((nu, 2))], axis=1)) if nu else gp[:, :3]
   bias3 = np.where((bts == BiasType.AFFINE)[:, None], bp[:, :3],
-                   0.0) if nu else bp
+                   0.0) if nu else bp[:, :3]
+  # muscle FLV + activation-dynamics statics
+  gain_muscle = tuple(int(t) == GainType.MUSCLE for t in gts)
+  bias_muscle = tuple(int(t) == BiasType.MUSCLE for t in bts)
+  gain9 = tuple(tuple(float(x) for x in gp[u, :9]) for u in range(nu))
+  bias9 = tuple(tuple(float(x) for x in bp[u, :9]) for u in range(nu))
+  dyntypes = tuple(int(t) for t in m.actuator_dyntype) if nu else ()
+  dynprm = _np_leaf(m.actuator_dynprm) if nu else np.zeros((0, 3))
+  dynprm3 = tuple(tuple(float(x) for x in dynprm[u, :3])
+                  for u in range(nu))
+  aadrs = tuple(
+      int(m.actuator_actadr[u]) + max(int(m.actuator_actnum[u]), 1) - 1
+      if dyntypes and dyntypes[u] != DynType.NONE else -1
+      for u in range(nu))
+  actearly = tuple(bool(m.actuator_actearly[u]) for u in range(nu))
+  lr = _np_leaf(m.actuator_lengthrange) if nu else np.zeros((0, 2))
+  lengthrange = tuple(tuple(float(x) for x in lr[u]) for u in range(nu))
+  acc0 = _np_leaf(m.actuator_acc0) if nu else np.zeros((0,))
+  acc0 = tuple(float(x) for x in acc0)
+  actrange = _np_leaf(m.actuator_actrange) if nu else np.zeros((0, 2))
+  act_lo = tuple(
+      float(actrange[u, 0]) if m.actuator_actlimited[u] else -_BIG
+      for u in range(nu))
+  act_hi = tuple(
+      float(actrange[u, 1]) if m.actuator_actlimited[u] else _BIG
+      for u in range(nu))
   frange = _np_leaf(m.actuator_forcerange) if nu else np.zeros((0, 2))
   flim = _np_leaf(m.actuator_forcelimited).astype(bool) if nu else []
   frc_lo = np.where(flim, frange[:, 0], -_BIG) if nu else np.zeros((0,))
@@ -832,18 +885,39 @@ def _glue_static(m):
       lin_q.append(qadr)
       lin_d.append(dadr)
 
-  # per-dof actuator groups for the moment^T force scatter
-  dof_acts = tuple(tuple(u for u in range(nu) if act_dadr[u] == v)
+  # per-dof actuator groups for the moment^T force scatter (joint
+  # transmission only; tendon actuators scatter through ten_J)
+  dof_acts = tuple(tuple(u for u in range(nu)
+                         if act_dadr[u] == v and not is_tendon[u])
                    for v in range(nv))
+
+  # tendon passive statics (deadband spring + damper, passive.py:83-97)
+  nt = m.ntendon
+  if nt:
+    ten_k = tuple(float(x) for x in _np_leaf(m.tendon_stiffness))
+    ten_c = tuple(float(x) for x in _np_leaf(m.tendon_damping))
+    tls = _np_leaf(m.tendon_lengthspring)
+    ten_lo = tuple(float(x) for x in tls[:, 0])
+    ten_hi = tuple(float(x) for x in tls[:, 1])
+  else:
+    ten_k = ten_c = ten_lo = ten_hi = ()
 
   return dict(
       nu=nu, nv=nv, nq=nq, actuation_on=actuation_on,
       act_qadr=act_qadr, act_dadr=act_dadr,
+      is_tendon=is_tendon, act_tid=act_tid,
       gear0=tuple(float(g) for g in gear),
       ctrl_lo=tuple(float(x) for x in ctrl_lo),
       ctrl_hi=tuple(float(x) for x in ctrl_hi),
       gain3=tuple(tuple(float(y) for y in x) for x in gain3),
       bias3=tuple(tuple(float(y) for y in x) for x in bias3),
+      gain_muscle=gain_muscle, bias_muscle=bias_muscle,
+      gain9=gain9, bias9=bias9, dyntypes=dyntypes, dynprm3=dynprm3,
+      aadrs=aadrs, actearly=actearly, lengthrange=lengthrange,
+      acc0=acc0, act_lo=act_lo, act_hi=act_hi,
+      na=int(m.na), nt=int(nt),
+      ten_k=ten_k, ten_c=ten_c, ten_lo=ten_lo, ten_hi=ten_hi,
+      spring_on=spring_on, damper_on=damper_on,
       frc_lo=tuple(float(x) for x in frc_lo),
       frc_hi=tuple(float(x) for x in frc_hi),
       damping=tuple(float(x) for x in damping),
@@ -857,40 +931,63 @@ def _glue_static(m):
       quat_q=tuple(quat_q), quat_d=tuple(quat_d))
 
 
+def _n_ext(gs) -> int:
+  """Extra input-ref count: act (na>0) + ten_length/ten_J (nt>0)."""
+  return (1 if gs['na'] else 0) + (2 if gs['nt'] else 0)
+
+
 def _glue_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
                  qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref,
                  *refs):
   # J arrives (nj, nv, L) — the contact megakernel's native layout; the
   # final scratch is the in-VMEM (nv, nj, L) transpose (see
   # _newton_kernel note)
+  nin = _n_ext(gs)
+  ext, refs = refs[:nin], refs[nin:]
   jt_scr = refs[-1]
   jt_scr[...] = jnp.swapaxes(j_ref[...], 0, 1)
   _glue_core(cfg, gs, p_ref, qm_ref, jt_scr, d_ref, aref_ref, fl_ref,
-             qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, None,
+             qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, None, ext,
              *refs[:-1])
 
 
 def _glue_ell_kernel(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref,
                      fl_ref, qpos_ref, qvel_ref, ctrl_ref, qfx_ref,
                      ws_ref, fr_ref, dim_ref, *refs):
+  nin = _n_ext(gs)
+  ext, refs = refs[:nin], refs[nin:]
   jt_scr = refs[-1]
   jt_scr[...] = jnp.swapaxes(j_ref[...], 0, 1)
   _glue_core(cfg, gs, p_ref, qm_ref, jt_scr, d_ref, aref_ref, fl_ref,
              qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref,
-             (fr_ref[...], dim_ref[...]), *refs[:-1])
+             (fr_ref[...], dim_ref[...]), ext, *refs[:-1])
 
 
 def _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
-               qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, con,
-               qacc_ref, qfc_ref, force_ref, niter_ref, qaccs_ref,
-               qld_ref, qacce_ref, afrc_ref, qfa_ref, qfsp_ref,
-               qfdp_ref, qfp_ref, qfs_ref, qpos_out_ref, qvel_out_ref,
-               h_scr, jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
-               done_scr):
-  """Preamble: actuation + passive + qfrc_smooth; core: Newton solve
-  (+ qM factor, qacc_smooth, Euler-damped re-solve); tail: semi-implicit
-  Euler advance of qpos/qvel."""
+               qpos_ref, qvel_ref, ctrl_ref, qfx_ref, ws_ref, con, ext,
+               *refs):
+  """Preamble: actuation (affine/muscle, joint/tendon transmission,
+  activation dynamics) + passive (joint + tendon springs/dampers) +
+  qfrc_smooth; core: Newton solve (+ qM factor, qacc_smooth,
+  Euler-damped re-solve); tail: semi-implicit Euler advance of
+  qpos/qvel (+ act)."""
   nv, nq, nu = gs['nv'], gs['nq'], gs['nu']
+  na, nt = gs['na'], gs['nt']
+  # slice the positional refs: ext inputs already split by the wrapper;
+  # outputs = 15 core + (act, act_dot) when na; then 7 scratches
+  nout = 15 + (2 if na else 0)
+  outs, scr = refs[:nout], refs[nout:]
+  (qacc_ref, qfc_ref, force_ref, niter_ref, qaccs_ref, qld_ref,
+   qacce_ref, afrc_ref, qfa_ref, qfsp_ref, qfdp_ref, qfp_ref, qfs_ref,
+   qpos_out_ref, qvel_out_ref) = outs[:15]
+  act_out_ref, actdot_out_ref = (outs[15:17] if na else (None, None))
+  (h_scr, jd_scr, ma_scr, jaref_scr, search_scr, cost_scr,
+   done_scr) = scr
+  ei = 0
+  act_in = ext[ei][...] if na else None
+  ei += 1 if na else 0
+  tenlen = ext[ei][...] if nt else None        # (nt, L)
+  tenj_ref = ext[ei + 1] if nt else None       # (nt, nv, L)
   L = qvel_ref.shape[-1]
   dt = jnp.float32
   qpos = qpos_ref[...]
@@ -898,23 +995,66 @@ def _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
   h = p_ref[2, 0]
   zrow = jnp.zeros((1, L), dt)
 
-  # ---- actuation (fwd_actuation, stateless affine path) ----
+  def ten_row_dot(t, vec):                     # ten_J[t] . vec -> (1, L)
+    return jnp.sum(tenj_ref[t] * vec, axis=0, keepdims=True)
+
+  # ---- actuation (fwd_actuation: affine/muscle gain+bias, joint or
+  # tendon transmission, activation dynamics) ----
+  act_dot_rows = [zrow] * na
   if gs['actuation_on']:
+    from ..types import DynType as _Dyn
+    from .. import muscle as _muscle
     ctrl = ctrl_ref[...]
     gf = []                                  # gear-scaled forces (1, L)
+    ten_f = [zrow] * nt                      # tendon-space forces
     forces = []
     for u in range(nu):
       g0 = gs['gear0'][u]
-      length = qpos[gs['act_qadr'][u]][None, :] * g0
-      velocity = qvel[gs['act_dadr'][u]][None, :] * g0
+      if gs['is_tendon'][u]:
+        tid = gs['act_tid'][u]
+        length = tenlen[tid][None, :] * g0
+        velocity = ten_row_dot(tid, qvel) * g0
+      else:
+        length = qpos[gs['act_qadr'][u]][None, :] * g0
+        velocity = qvel[gs['act_dadr'][u]][None, :] * g0
       c = jnp.clip(ctrl[u][None, :], gs['ctrl_lo'][u], gs['ctrl_hi'][u])
-      ga, gb, gc = gs['gain3'][u]
-      ba, bb, bc = gs['bias3'][u]
-      gain = ga + gb * length + gc * velocity
-      bias = ba + bb * length + bc * velocity
-      f = jnp.clip(gain * c + bias, gs['frc_lo'][u], gs['frc_hi'][u])
+      # activation dynamics -> actuator input (reference
+      # forward.py:616-735; forward.fwd_actuation)
+      dyn = gs['dyntypes'][u] if gs['dyntypes'] else _Dyn.NONE
+      if dyn == _Dyn.NONE:
+        inp = c
+      else:
+        aadr = gs['aadrs'][u]
+        a_u = act_in[aadr][None, :]
+        if dyn == _Dyn.INTEGRATOR:
+          adot = c
+        elif dyn == _Dyn.FILTER:
+          tau = max(gs['dynprm3'][u][0], 1e-8)
+          adot = (c - a_u) / tau
+        else:                                # MUSCLE
+          adot = _muscle.muscle_dynamics(
+              c, a_u, tuple(gs['dynprm3'][u]))
+        act_dot_rows[aadr] = adot
+        inp = a_u + h * adot if gs['actearly'][u] else a_u
+      if gs['gain_muscle'][u]:
+        gain = _muscle.muscle_gain(length, velocity,
+                                   gs['lengthrange'][u], gs['acc0'][u],
+                                   gs['gain9'][u])
+      else:
+        ga, gb, gc = gs['gain3'][u]
+        gain = ga + gb * length + gc * velocity
+      if gs['bias_muscle'][u]:
+        bias = _muscle.muscle_bias(length, gs['lengthrange'][u],
+                                   gs['acc0'][u], gs['bias9'][u])
+      else:
+        ba, bb, bc = gs['bias3'][u]
+        bias = ba + bb * length + bc * velocity
+      f = jnp.clip(gain * inp + bias, gs['frc_lo'][u], gs['frc_hi'][u])
       forces.append(f)
       gf.append(f * g0)
+      if gs['is_tendon'][u]:
+        tid = gs['act_tid'][u]
+        ten_f[tid] = ten_f[tid] + f * g0
     afrc_ref[...] = (jnp.concatenate(forces, axis=0) if nu else
                      jnp.zeros((max(nu, 1), L), dt))
     qfa_rows = []
@@ -924,17 +1064,39 @@ def _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
         row = gf[acts[0]]
         for u in acts[1:]:
           row = row + gf[u]
-        row = jnp.clip(row, gs['af_lo'][v], gs['af_hi'][v])
       else:
         row = zrow
       qfa_rows.append(row)
     qfa = jnp.concatenate(qfa_rows, axis=0)
+    # tendon-transmitted forces scatter through ten_J rows
+    for t in range(nt):
+      if any(gs['is_tendon'][u] and gs['act_tid'][u] == t
+             for u in range(nu)):
+        qfa = qfa + tenj_ref[t] * ten_f[t]
+    if any(lo > -_BIG or hi < _BIG
+           for lo, hi in zip(gs['af_lo'], gs['af_hi'])):
+      qfa = jnp.concatenate(
+          [jnp.clip(qfa[v:v + 1], gs['af_lo'][v], gs['af_hi'][v])
+           for v in range(nv)], axis=0)
   else:
     afrc_ref[...] = jnp.zeros((max(nu, 1), L), dt)
     qfa = jnp.zeros((nv, L), dt)
   qfa_ref[...] = qfa
+  if na:
+    actdot_out_ref[...] = jnp.concatenate(act_dot_rows, axis=0)
+    act_new_rows = [None] * na
+    for u in range(nu):
+      aadr = gs['aadrs'][u]
+      if aadr >= 0:
+        act_new_rows[aadr] = jnp.clip(
+            act_in[aadr][None, :] + h * act_dot_rows[aadr],
+            gs['act_lo'][u], gs['act_hi'][u])
+    act_out_ref[...] = jnp.concatenate(
+        [r if r is not None else act_in[i][None, :]
+         for i, r in enumerate(act_new_rows)], axis=0)
 
-  # ---- passive (scalar springs + dof dampers) ----
+  # ---- passive (scalar joint springs/dampers + tendon deadband
+  # springs/dampers, passive.py) ----
   sp_rows = []
   for v in range(nv):
     k = gs['spring_k'][v]
@@ -950,6 +1112,16 @@ def _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
     qfdp = jnp.concatenate(dmp_rows, axis=0)
   else:
     qfdp = jnp.zeros((nv, L), dt)
+  for t in range(nt):
+    if gs['ten_k'][t] and gs['spring_on']:
+      Lt = tenlen[t][None, :]
+      lo, hi = gs['ten_lo'][t], gs['ten_hi'][t]
+      disp = jnp.where(Lt > hi, hi - Lt,
+                       jnp.where(Lt < lo, lo - Lt, 0.0))
+      qfsp = qfsp + tenj_ref[t] * (gs['ten_k'][t] * disp)
+    if gs['ten_c'][t] and gs['damper_on']:
+      tvel = ten_row_dot(t, qvel)
+      qfdp = qfdp + tenj_ref[t] * (-gs['ten_c'][t] * tvel)
   qfp = qfsp + qfdp
   qfsp_ref[...] = qfsp
   qfdp_ref[...] = qfdp
@@ -1050,11 +1222,14 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
       _glue_ell_kernel if ell is not None else _glue_kernel, cfg, gs)
   num = max(nu, 1)
 
+  na, nt = gs['na'], gs['nt']
+
   @jax.jit
   def run(qm, efc_j, efc_d, efc_aref, efc_fl, qpos, qvel, ctrl, qfx,
           warmstart, tolerance, meaninertia, timestep,
           con_friction=None, con_dim=None, impratio=None,
-          perm=None, inv_perm=None):
+          perm=None, inv_perm=None, act=None, ten_length=None,
+          ten_j=None):
     """perm/inv_perm: optional (W,) world permutation applied to every
     input (and inverted on every output). The Newton loop runs each
     128-lane block until ITS worlds converge, so grouping worlds by
@@ -1112,6 +1287,12 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
       _, _S, _C = ell
       in_specs += [lane3(_C, 5), lane2(_C)]
       inputs += [bl(con_friction.astype(dt)), bl(con_dim.astype(dt))]
+    if na:
+      in_specs += [lane2(na)]
+      inputs += [bl(act.astype(dt))]
+    if nt:
+      in_specs += [lane2(nt), lane3(nt, nv)]
+      inputs += [bl(ten_length.astype(dt)), bl(ten_j.astype(dt))]
     outs = pl.pallas_call(
         kernel,
         grid=(wpad // LANES,),
@@ -1122,7 +1303,8 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
                                 memory_space=vm),
                    lane2(nv), lane3(nv, nv), lane2(nv), lane2(num),
                    lane2(nv), lane2(nv), lane2(nv), lane2(nv), lane2(nv),
-                   lane2(nq), lane2(nv)],
+                   lane2(nq), lane2(nv)] +
+                  ([lane2(na), lane2(na)] if na else []),
         out_shape=[
             jax.ShapeDtypeStruct((nv, wpad), dt),
             jax.ShapeDtypeStruct((nv, wpad), dt),
@@ -1139,7 +1321,8 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
             jax.ShapeDtypeStruct((nv, wpad), dt),
             jax.ShapeDtypeStruct((nq, wpad), dt),
             jax.ShapeDtypeStruct((nv, wpad), dt),
-        ],
+        ] + ([jax.ShapeDtypeStruct((na, wpad), dt),
+              jax.ShapeDtypeStruct((na, wpad), dt)] if na else []),
         scratch_shapes=[pltpu.VMEM((nv, nv, LANES), jnp.float32),
                         pltpu.VMEM((nv, nj, LANES), jnp.float32),
                         pltpu.VMEM((nv, LANES), jnp.float32),
@@ -1155,14 +1338,18 @@ def make_glue_kernel(m, nj: int, ne: int, nf: int, use_ws: bool,
         x = jnp.take(x, inv_perm, axis=0)
       return x
     (qacc, qfc, force, niter, qaccs, qld, qacce, afrc, qfa, qfsp, qfdp,
-     qfp, qfs, qpos_out, qvel_out) = outs
-    return dict(
+     qfp, qfs, qpos_out, qvel_out) = outs[:15]
+    res = dict(
         qacc=t2(qacc), qfrc_constraint=t2(qfc), efc_force=t2(force),
         solver_niter=t2(niter)[:, 0], qacc_smooth=t2(qaccs), qLD=t2(qld),
         qacc_euler=t2(qacce), actuator_force=t2(afrc)[:, :nu],
         qfrc_actuator=t2(qfa), qfrc_spring=t2(qfsp),
         qfrc_damper=t2(qfdp), qfrc_passive=t2(qfp), qfrc_smooth=t2(qfs),
         qpos=t2(qpos_out), qvel=t2(qvel_out))
+    if na:
+      res['act'] = t2(outs[15])
+      res['act_dot'] = t2(outs[16])
+    return res
 
   _GLUE_CACHE[key] = (m, run)
   return run
