@@ -144,8 +144,97 @@ def sphere_hfield(m: Model, hid: int, nrow: int, ncol: int,
   return dist_k, pos_k, frames
 
 
+def _cell_prisms(m: Model, hid: int, nrow: int, ncol: int,
+                 hmat, hpos, hsize, center):
+  """(P, 6, 4) prism vertex buffers (hfield-LOCAL, mesh-hull layout:
+  xyz + validity) for the 2 triangles of each cell in the static KxK
+  neighborhood around `center` (world). Each prism extrudes a surface
+  triangle down to the hfield base at z = -size[3] — exactly the convex
+  prisms C MuJoCo's mjc_ConvexHField collides (reference
+  collision_convex.py:158 tiles the same cells)."""
+  data = m.hfield_data[hid]
+  dtype = center.dtype
+  c_loc = hmat.T @ (center - hpos)
+  sx, sy, sz, base = hsize[0], hsize[1], hsize[2], hsize[3]
+  dx = 2.0 * sx / (ncol - 1)
+  dy = 2.0 * sy / (nrow - 1)
+  fx = (c_loc[0] + sx) / dx
+  fy = (c_loc[1] + sy) / dy
+  ci = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, ncol - 2)
+  ri = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, nrow - 2)
+  offs = np.arange(-_K + 1, _K)
+  prisms = []
+  for oi in offs:
+    for oj in offs:
+      r0 = jnp.clip(ri + oi, 0, nrow - 2)
+      c0 = jnp.clip(ci + oj, 0, ncol - 2)
+      x0 = -sx + c0.astype(dtype) * dx
+      y0 = -sy + r0.astype(dtype) * dy
+      z00 = data[r0, c0] * sz
+      z01 = data[r0, c0 + 1] * sz
+      z10 = data[r0 + 1, c0] * sz
+      z11 = data[r0 + 1, c0 + 1] * sz
+      p00 = jnp.stack([x0, y0, z00])
+      p01 = jnp.stack([x0 + dx, y0, z01])
+      p10 = jnp.stack([x0, y0 + dy, z10])
+      p11 = jnp.stack([x0 + dx, y0 + dy, z11])
+      zb = -base
+      for tri in ((p00, p01, p11), (p00, p11, p10)):
+        top = jnp.stack(tri)                          # (3, 3)
+        bot = top.at[:, 2].set(zb)
+        verts = jnp.concatenate([top, bot], axis=0)   # (6, 3)
+        prisms.append(jnp.concatenate(
+            [verts, jnp.ones((6, 1), dtype)], axis=1))
+  return jnp.stack(prisms)                            # (P, 6, 4)
+
+
+def prism_mpr_hfield(m: Model, hid: int, nrow: int, ncol: int, t2: int,
+                     p1, m1, s1, p2, m2, s2):
+  """Exact hfield narrowphase for convex geoms: MPR between each cell
+  prism (a 6-vertex convex, treated as a mesh hull) and the geom — the
+  TPU formulation of C mjc_ConvexHField / the reference's hfield-tiled
+  CCD (reference collision_convex.py:158). Returns the _NCONH deepest
+  contacts (dist, pos, frame), frame normal hfield -> geom."""
+  from . import collision_convex
+  prisms = _cell_prisms(m, hid, nrow, ncol, m1, p1, s1, p2)
+  # flat-capable geoms (box/cylinder faces) need the multi-contact
+  # manifold per prism — C's CCD emits the corner/edge witness set on
+  # flat-on-triangle patches, a single MPR point lands mid-patch
+  if GeomType(t2) in collision_convex._FLAT_CAPABLE:
+    collide = collision_convex.mpr_multi(int(GeomType.MESH), t2)
+  else:
+    collide = collision_convex.mpr(int(GeomType.MESH), t2)
+  s_dummy = jnp.zeros((3,), p2.dtype)
+
+  def one(v1):
+    dist, pos, frame = collide(p1, m1, s_dummy, p2, m2, s2, v1=v1)
+    return dist, pos, frame
+
+  dists, poss, frames = jax.vmap(one)(prisms)
+  dists = dists.reshape(-1)
+  poss = poss.reshape(-1, 3)
+  frames = frames.reshape(-1, 3, 3)
+  # deepest-first selection (dist = 1e10 for non-penetrating prisms)
+  _, idx = jax.lax.top_k(-dists, _NCONH)
+  dist_k = dists[idx]
+  pos_k = poss[idx]
+  fr_k = frames[idx]
+  # near-duplicate positions (a deep vertex penetrates several prisms):
+  # keep the first, mark the rest inactive
+  def dedup(i, dk):
+    if i == 0:
+      return dk
+    same = math.norm(pos_k[i] - pos_k[:i], axis=-1) < 1e-5
+    return jnp.where(jnp.any(same), 1e10, dk)
+  dist_k = jnp.stack([dedup(i, dist_k[i]) for i in range(_NCONH)])
+  return dist_k, pos_k, fr_k
+
+
 def hfield_collider(m: Model, hid: int, nrow: int, ncol: int, t2: int):
-  """Collider closure for (HFIELD, t2) with static hfield id."""
+  """Collider closure for (HFIELD, t2) with static hfield id.
+  sphere/capsule: analytic closest-point vs cell triangles (exact for
+  sphere; capsule via end/mid sphere expansion). box/cylinder/
+  ellipsoid: exact prism-MPR (C mjc_ConvexHField behavior)."""
 
   def collide(p1, m1, s1, p2, m2, s2):
     if t2 == GeomType.SPHERE:
@@ -161,50 +250,9 @@ def hfield_collider(m: Model, hid: int, nrow: int, ncol: int, t2: int):
       # triangles too, which report spuriously deep distances
       _, idx = jax.lax.top_k(-jnp.abs(dist), _NCONH)
       return dist[idx], pos[idx], frame[idx]
-    if t2 == GeomType.BOX:
-      # corner sampling: each box corner as a zero-radius sphere (the
-      # contact points of a box on mostly-smooth terrain are corners;
-      # reference box-on-hfield clips box faces per cell — corner
-      # sampling is the vectorized first-order version)
-      outs = []
-      for sx in (-1.0, 1.0):
-        for sy in (-1.0, 1.0):
-          for sz in (-1.0, 1.0):
-            corner = p2 + m2 @ (s2[:3] * jnp.asarray(
-                [sx, sy, sz], p2.dtype))
-            outs.append(sphere_hfield(m, hid, nrow, ncol, p1, m1, s1,
-                                      corner, jnp.zeros((), p2.dtype)))
-      dist = jnp.concatenate([o[0] for o in outs])
-      pos = jnp.concatenate([o[1] for o in outs])
-      frame = jnp.concatenate([o[2] for o in outs])
-      # nearest-to-surface selection: buried sample points sit 'below' far
-      # triangles too, which report spuriously deep distances
-      _, idx = jax.lax.top_k(-jnp.abs(dist), _NCONH)
-      return dist[idx], pos[idx], frame[idx]
-    if t2 == GeomType.CYLINDER:
-      # rim + face-center sampling
-      axis = m2[:, 2] * s2[1]
-      outs = []
-      for e in (-1.0, 1.0):
-        outs.append(sphere_hfield(m, hid, nrow, ncol, p1, m1, s1,
-                                  p2 + e * axis, jnp.zeros((), p2.dtype)))
-        for k in range(4):
-          ang = 2.0 * jnp.pi * k / 4
-          rim = (p2 + e * axis + m2[:, 0] * s2[0] * jnp.cos(ang) +
-                 m2[:, 1] * s2[0] * jnp.sin(ang))
-          outs.append(sphere_hfield(m, hid, nrow, ncol, p1, m1, s1, rim,
-                                    jnp.zeros((), p2.dtype)))
-      dist = jnp.concatenate([o[0] for o in outs])
-      pos = jnp.concatenate([o[1] for o in outs])
-      frame = jnp.concatenate([o[2] for o in outs])
-      # nearest-to-surface selection: buried sample points sit 'below' far
-      # triangles too, which report spuriously deep distances
-      _, idx = jax.lax.top_k(-jnp.abs(dist), _NCONH)
-      return dist[idx], pos[idx], frame[idx]
-    if t2 == GeomType.ELLIPSOID:
-      # inscribed-sphere approximation
-      r = jnp.min(s2[:3])
-      return sphere_hfield(m, hid, nrow, ncol, p1, m1, s1, p2, r)
+    if t2 in (GeomType.BOX, GeomType.CYLINDER, GeomType.ELLIPSOID):
+      return prism_mpr_hfield(m, hid, nrow, ncol, t2, p1, m1, s1,
+                              p2, m2, s2)
     raise NotImplementedError(f'hfield vs geom type {t2}')
 
   return collide

@@ -112,3 +112,110 @@ def test_box_on_hfield_rest():
   z = float(d.qpos[2])
   assert np.isfinite(np.asarray(d.qpos)).all()
   assert abs(z - mjd.qpos[2]) < 5e-3, (z, mjd.qpos[2])
+
+
+PRISM_XML = """
+<mujoco>
+  <option timestep="0.002"/>
+  <asset>
+    <hfield name="terrain" nrow="9" ncol="9" size="1 1 0.2 0.1"/>
+  </asset>
+  <worldbody>
+    <geom type="hfield" hfield="terrain"/>
+    <body pos="0 0 {z}">
+      <freejoint/>
+      <geom type="{gtype}" size="{size}" mass="1" euler="5 10 0"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _make_prism(gtype, size, z, euler='5 10 0', bumpy=True):
+  """Lower a convex geom into the terrain until C MuJoCo reports
+  penetrating contacts, then compare narrowphase outputs there."""
+  mjm = mujoco.MjModel.from_xml_string(
+      PRISM_XML.format(gtype=gtype, size=size, z=z).replace(
+          'euler="5 10 0"', f'euler="{euler}"'))
+  nr, nc = mjm.hfield_nrow[0], mjm.hfield_ncol[0]
+  if bumpy:
+    h = 0.5 + 0.5 * np.sin(np.linspace(0, 3, nr))[:, None] * np.cos(
+        np.linspace(0, 4, nc))[None, :]
+  else:
+    h = np.full((nr, nc), 0.5)         # flat plateau (still prisms)
+  mjm.hfield_data[:] = h.reshape(-1)
+  mjd = mujoco.MjData(mjm)
+  for zz in np.arange(z, -0.1, -0.002):
+    mjd.qpos[2] = zz
+    mujoco.mj_forward(mjm, mjd)
+    if mjd.ncon > 0 and mjd.contact.dist.min() < -2e-4:
+      break
+  m = mjwt.put_model(mjm)
+  d = mjwt.put_data(mjm, mjd, m)
+  return mjm, mjd, m, d
+
+
+def _engine_contacts(m, d):
+  import jax
+  from mujoco_warp_tpu import collision_driver, smooth
+  out = jax.jit(lambda dd: collision_driver.collision(
+      m, smooth.kinematics(m, dd)))(d)
+  dist = np.asarray(out.contact.dist)
+  pos = np.asarray(out.contact.pos)
+  act = np.asarray(out.contact.geom)[:, 0] >= 0
+  return dist[act], pos[act]
+
+
+def _contact_parity(gtype, size, z, euler, pos_tol, dist_tol):
+  """Every penetrating C contact must have a matching engine contact.
+  Flat terrain + tilted geom makes the witness set (corners) exact and
+  unambiguous; on sloped triangles an edge witness can sit anywhere
+  along the contact edge (C clips, MPR refines — both valid), so those
+  configurations are covered by the behavioral rest tests instead."""
+  mjm, mjd, m, d = _make_prism(gtype, size, z, euler, bumpy=False)
+  assert mjd.ncon > 0, 'C must report contacts at rest'
+  act_dist, act_pos = _engine_contacts(m, d)
+  assert act_dist.size > 0, 'engine must report contacts'
+  for ci in range(mjd.ncon):
+    cdist = mjd.contact.dist[ci]
+    cpos = mjd.contact.pos[ci]
+    if cdist > -1e-5:
+      continue  # grazing C contacts may legitimately fall outside MPR
+    perr = np.linalg.norm(act_pos - cpos[None], axis=1)
+    j = int(np.argmin(perr))
+    assert perr[j] < pos_tol, (gtype, ci, cpos, act_pos, perr[j])
+    assert abs(act_dist[j] - cdist) < dist_tol, (
+        gtype, ci, cdist, act_dist[j])
+
+
+def test_box_hfield_contact_parity_vs_c():
+  # tilted box on a flat plateau: one corner, exact witness
+  _contact_parity('box', '0.12 0.1 0.08', 0.8, '5 10 0',
+                  pos_tol=2e-3, dist_tol=2e-4)
+
+
+def test_cylinder_hfield_contact_parity_vs_c():
+  # tilted cylinder rim on a flat plateau
+  _contact_parity('cylinder', '0.1 0.08', 0.8, '5 0 0',
+                  pos_tol=5e-3, dist_tol=3e-4)
+
+
+def test_ellipsoid_hfield_contact_parity_vs_c():
+  # smooth tangency: the MPR portal witness spreads a few mm across the
+  # near-flat tangent region (depth + normal still exact)
+  _contact_parity('ellipsoid', '0.12 0.1 0.08', 0.8, '5 10 0',
+                  pos_tol=5e-3, dist_tol=2e-4)
+
+
+def test_box_hfield_bumpy_depth_parity_vs_c():
+  """On bumpy terrain witness position is edge-ambiguous, but the
+  DEEPEST penetration the two engines see must agree closely."""
+  mjm, mjd, m, d = _make_prism('box', '0.12 0.1 0.08', 0.8)
+  assert mjd.ncon > 0
+  act_dist, _ = _engine_contacts(m, d)
+  assert act_dist.size > 0
+  c_min = mjd.contact.dist.min()
+  # engine may find a marginally deeper point along the same contact
+  # edge; it must never report shallower than C's deepest
+  assert act_dist.min() <= c_min + 2e-4
+  assert act_dist.min() >= c_min - 2.5e-3
