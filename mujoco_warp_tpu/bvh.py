@@ -58,6 +58,16 @@ def _morton3(x: np.ndarray) -> np.ndarray:
           | (spread(q[:, 2]) << np.uint64(2)))
 
 
+def cluster_order(faces: np.ndarray) -> np.ndarray:
+  """The Morton permutation build_clusters applies to a mesh's faces —
+  exposed so per-face side data (texcoords) can be reordered to match
+  the clustered face array."""
+  cent = faces.mean(axis=1)
+  lo, hi = cent.min(axis=0), cent.max(axis=0)
+  span = np.maximum(hi - lo, 1e-9)
+  return np.argsort(_morton3((cent - lo) / span), kind='stable')
+
+
 def build_clusters(faces: np.ndarray, cmax: int
                    ) -> tuple[np.ndarray, np.ndarray]:
   """Cluster one mesh's (F, 3, 3) triangles.
@@ -66,11 +76,7 @@ def build_clusters(faces: np.ndarray, cmax: int
   Padding faces are degenerate zeros (never hit); padding clusters get
   an inverted AABB (min > max) that fails every slab test."""
   f = faces.shape[0]
-  cent = faces.mean(axis=1)
-  lo, hi = cent.min(axis=0), cent.max(axis=0)
-  span = np.maximum(hi - lo, 1e-9)
-  order = np.argsort(_morton3((cent - lo) / span), kind='stable')
-  faces = faces[order]
+  faces = faces[cluster_order(faces)]
 
   out = np.zeros((cmax * CLUSTER, 3, 3), faces.dtype)
   out[:f] = faces

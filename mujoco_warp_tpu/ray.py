@@ -259,6 +259,36 @@ def ray_mesh_hit(faces, pos, mat, pnt, vec):
   return tall[i], n
 
 
+def ray_mesh_hit_uv(faces, face_uv, pos, mat, pnt, vec):
+  """ray_mesh_hit + texcoord of the hit: barycentric interpolation of
+  the per-face-corner uv table `face_uv` (F, 3, 2) (reference
+  render.py:44 sample_texture's MESH branch)."""
+  p = mat.T @ (pnt - pos)
+  v = mat.T @ vec
+  a = faces[:, 0]
+  e1 = faces[:, 1] - a
+  e2 = faces[:, 2] - a
+  pvec = jnp.cross(v[None, :], e2)
+  det = jnp.einsum('fi,fi->f', e1, pvec)
+  ok = jnp.abs(det) > 1e-12
+  inv = 1.0 / jnp.where(ok, det, 1.0)
+  tvec = p[None, :] - a
+  u = jnp.einsum('fi,fi->f', tvec, pvec) * inv
+  qvec = jnp.cross(tvec, e1)
+  w = jnp.einsum('i,fi->f', v, qvec) * inv
+  t = jnp.einsum('fi,fi->f', e2, qvec) * inv
+  hit = ok & (u >= 0) & (w >= 0) & (u + w <= 1) & (t >= 0)
+  tall = jnp.where(hit, t, _INF)
+  i = jnp.argmin(tall)
+  n_loc = jnp.cross(e1[i], e2[i])
+  n_loc = n_loc * jnp.sign(-jnp.dot(n_loc, v))
+  n = math.normalize(mat @ n_loc)
+  # hit point = a + u*e1 + w*e2 -> uv = (1-u-w)*uv_a + u*uv_b + w*uv_c
+  uvf = face_uv[i]                                   # (3, 2)
+  uv = (1.0 - u[i] - w[i]) * uvf[0] + u[i] * uvf[1] + w[i] * uvf[2]
+  return tall[i], n, uv
+
+
 def hfield_faces(m: Model, hid: int, dtype=jnp.float32):
   """(F, 3, 3) local-frame surface triangles of a height field (C cell
   triangulation; shared by ray_hfield and the renderer)."""

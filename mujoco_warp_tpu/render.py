@@ -39,7 +39,7 @@ def _cam_resolutions(rc) -> list:
 
 @_pytree(meta=('width', 'height', 'cam_ids', 'geom_texid', 'use_shadows',
                'use_textures', 'light_type', 'light_castshadow',
-               'resolutions'))
+               'resolutions', 'mesh_has_uv'))
 class RenderContext:
   """Static camera/light/texture setup (reference types.py:1899
   RenderContext; built by create_render_context = io.py:2649).
@@ -59,6 +59,9 @@ class RenderContext:
   geom_texrepeat: jax.Array  # (ngeom, 2)
   fovy: jax.Array            # (ncam_sel,) degrees
   textures: jax.Array        # (ntex, TH, TW, 3) float [0,1] (or (0,...))
+  mesh_has_uv: Tuple[bool, ...]  # per-mesh: texcoords present
+  mesh_face_uv: jax.Array    # (nmesh, Fpad, 3, 2) per-corner texcoords
+                             # in m.mesh_faces' Morton-clustered order
 
 
 def create_render_context(mjm, m: Model, width: int = 64,
@@ -119,6 +122,28 @@ def create_render_context(mjm, m: Model, width: int = 64,
   else:
     tex = np.zeros((0, 1, 1, 3), np.float32)
 
+  # per-face-corner mesh texcoords, reordered to match the
+  # Morton-clustered face array m.mesh_faces (reference render.py:44
+  # sample_texture MESH branch: barycentric uv from mesh_texcoord /
+  # mesh_facetexcoord)
+  from . import bvh as bvh_mod
+  nmesh = int(mjm.nmesh)
+  fpad = m.mesh_faces.shape[1] if nmesh else 1
+  face_uv = np.zeros((max(nmesh, 1), fpad, 3, 2), np.float32)
+  has_uv = [False] * max(nmesh, 1)
+  if use_textures and nmesh and mjm.mesh_texcoord.size:
+    for i in range(nmesh):
+      if int(mjm.mesh_texcoordadr[i]) < 0:
+        continue
+      fadr, fnum = int(mjm.mesh_faceadr[i]), int(mjm.mesh_facenum[i])
+      ftc = mjm.mesh_facetexcoord[fadr:fadr + fnum]        # (F, 3)
+      uv = mjm.mesh_texcoord[int(mjm.mesh_texcoordadr[i]) + ftc]
+      verts = mjm.mesh_vert[mjm.mesh_vertadr[i] +
+                            mjm.mesh_face[fadr:fadr + fnum]]
+      order = bvh_mod.cluster_order(verts.astype(np.float32))
+      face_uv[i, :fnum] = uv[order]
+      has_uv[i] = True
+
   return RenderContext(
       width=width, height=height, cam_ids=tuple(int(c) for c in cam_ids),
       resolutions=resolutions,
@@ -130,7 +155,9 @@ def create_render_context(mjm, m: Model, width: int = 64,
       geom_rgba=jnp.asarray(rgba),
       geom_texrepeat=jnp.asarray(texrepeat),
       fovy=jnp.asarray(fovy),
-      textures=jnp.asarray(tex))
+      textures=jnp.asarray(tex),
+      mesh_has_uv=tuple(has_uv),
+      mesh_face_uv=jnp.asarray(face_uv))
 
 
 def _normal_at(m: Model, d: Data, g: int, hit: jax.Array) -> jax.Array:
@@ -192,18 +219,28 @@ def _render_geoms(m: Model):
   return out
 
 
-def _closest_hit(m: Model, d: Data, gids, origin, dirs):
-  """Closest hit over `gids`: (t (R,), slot (R,), normal (R, 3)).
-  `origin` is (3,) shared or (R, 3) per ray."""
+def _closest_hit(m: Model, d: Data, gids, origin, dirs, rc=None):
+  """Closest hit over `gids`: (t (R,), slot (R,), normal (R, 3),
+  uv (R, 2)). `origin` is (3,) shared or (R, 3) per ray. uv carries
+  mesh texcoords for geoms whose mesh has them (zeros otherwise; the
+  caller selects by slot)."""
   per_ray_origin = origin.ndim == 2
   o_of = (lambda i: origin) if not per_ray_origin else None
-  ts, ns = [], []
+  zuv = jnp.zeros(2, dirs.dtype)
+  ts, ns, uvs = [], [], []
   for g in gids:
     gt = GeomType(m.geom_type[g])
     if gt == GeomType.MESH:
-      faces = m.mesh_faces[m.geom_dataid[g]]
-      fn = lambda o, v, g=g, faces=faces: ray_mod.ray_mesh_hit(
-          faces, d.geom_xpos[g], d.geom_xmat[g], o, v)
+      mid = int(m.geom_dataid[g])
+      faces = m.mesh_faces[mid]
+      if rc is not None and rc.mesh_has_uv[mid]:
+        fuv = rc.mesh_face_uv[mid]
+        fn = lambda o, v, g=g, faces=faces, fuv=fuv: (
+            ray_mod.ray_mesh_hit_uv(faces, fuv, d.geom_xpos[g],
+                                    d.geom_xmat[g], o, v))
+      else:
+        fn = lambda o, v, g=g, faces=faces: ray_mod.ray_mesh_hit(
+            faces, d.geom_xpos[g], d.geom_xmat[g], o, v) + (zuv,)
     elif gt == GeomType.HFIELD:
       hid = m.geom_dataid[g]
       faces = ray_mod.hfield_faces(m, hid, dirs.dtype)
@@ -214,26 +251,29 @@ def _closest_hit(m: Model, d: Data, gids, origin, dirs):
                                 o, v)
         # walls/base: analytic normal fallback from _normal_at
         t = jnp.minimum(t1, t2)
-        return t, n1
+        return t, n1, zuv
     else:
       rf = ray_mod.RAY_FN[gt]
       def fn(o, v, g=g, rf=rf):
         t = rf(d.geom_xpos[g], d.geom_xmat[g], m.geom_size[g], o, v)
         hitp = o + t * v
-        return t, _normal_at(m, d, g, hitp)
+        return t, _normal_at(m, d, g, hitp), zuv
     if per_ray_origin:
-      t_g, n_g = jax.vmap(fn)(origin, dirs)
+      t_g, n_g, uv_g = jax.vmap(fn)(origin, dirs)
     else:
-      t_g, n_g = jax.vmap(lambda v: fn(origin, v))(dirs)
+      t_g, n_g, uv_g = jax.vmap(lambda v: fn(origin, v))(dirs)
     ts.append(t_g)
     ns.append(n_g)
+    uvs.append(uv_g)
   tstack = jnp.stack(ts)                             # (G, R)
   slot = jnp.argmin(tstack, axis=0)                  # (R,)
   tmin = jnp.take_along_axis(tstack, slot[None], axis=0)[0]
   nstack = jnp.stack(ns)                             # (G, R, 3)
   normal = jnp.take_along_axis(
       nstack, slot[None, :, None], axis=0)[0]
-  return tmin, slot, normal
+  uvstack = jnp.stack(uvs)                           # (G, R, 2)
+  uv = jnp.take_along_axis(uvstack, slot[None, :, None], axis=0)[0]
+  return tmin, slot, normal, uv
 
 
 def _any_hit(m: Model, d: Data, gids, origins, dirs, tmax):
@@ -325,22 +365,29 @@ def render(m: Model, d: Data, rc: RenderContext):
   pc = jnp.concatenate(org_list, axis=0)               # (R, 3)
 
   if True:
-    tmin, slot, normal = _closest_hit(m, d, gids, pc, dirs)
+    tmin, slot, normal, mesh_uv = _closest_hit(m, d, gids, pc, dirs, rc)
     hit_mask = tmin < _INF * 0.5
     gid_np = jnp.asarray(np.array(gids, np.int32))
     gid_arr = gid_np[slot]
     hits = pc + tmin[:, None] * dirs
 
-    # base color: material-resolved rgba x texture (reference 686-717)
+    # base color: material-resolved rgba x texture (reference 686-717:
+    # plane-local xy uv for planes, barycentric mesh texcoords for
+    # meshes with <mesh texcoord>)
     base = rc.geom_rgba[gid_arr, :3]
     if rc.use_textures:
       texid_np = np.asarray([rc.geom_texid[g] for g in gids], np.int32)
       is_plane_np = np.asarray(
           [GeomType(m.geom_type[g]) == GeomType.PLANE for g in gids])
+      is_uvmesh_np = np.asarray(
+          [GeomType(m.geom_type[g]) == GeomType.MESH and
+           rc.mesh_has_uv[int(m.geom_dataid[g])] for g in gids])
       slot_tex = jnp.asarray(texid_np)[slot]
-      textured = (slot_tex >= 0) & jnp.asarray(is_plane_np)[slot]
-      # plane-local xy of the hit point, selected per slot
-      locs = jnp.zeros((dirs.shape[0], 2), dtype)
+      textured = (slot_tex >= 0) & (jnp.asarray(is_plane_np)[slot] |
+                                    jnp.asarray(is_uvmesh_np)[slot])
+      # plane-local xy of the hit point, selected per slot; uv-mesh
+      # slots take the barycentric texcoord from the hit instead
+      locs = mesh_uv
       for k, g in enumerate(gids):
         if texid_np[k] < 0 or not is_plane_np[k]:
           continue

@@ -214,3 +214,55 @@ def test_heterogeneous_camera_resolutions():
       lambda dd: render_mod.render(m, dd, rc_uni))(d)
   np.testing.assert_allclose(np.asarray(rgbs[0]), np.asarray(rgb_u[0]),
                              rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_surface_texture():
+  """A textured quad mesh (explicit texcoords): the rendered face must
+  show the checker pattern varying ACROSS the face (mesh-surface
+  texturing, reference render.py:44 sample_texture MESH branch), not
+  the flat material color."""
+  import jax
+  import numpy as np
+  xml = """
+  <mujoco>
+    <asset>
+      <texture name="grid" type="2d" builtin="checker" rgb1="1 0 0"
+               rgb2="0 0 1" width="64" height="64"/>
+      <material name="mat" texture="grid" texrepeat="1 1"/>
+      <mesh name="quad"
+            vertex="-1 -1 0  1 -1 0  1 1 0  -1 1 0  0 0 -0.4"
+            face="0 1 2  0 2 3  1 0 4  2 1 4  3 2 4  0 3 4"
+            texcoord="0 0  1 0  1 1  0 1  0.5 0.5"/>
+    </asset>
+    <worldbody>
+      <light pos="0 0 3" dir="0 0 -1" directional="true"/>
+      <body pos="0 0 0">
+        <geom type="mesh" mesh="quad" material="mat"/>
+      </body>
+      <camera name="top" pos="0 0 2.5" xyaxes="1 0 0 0 1 0"/>
+    </worldbody>
+  </mujoco>
+  """
+  import mujoco
+  import mujoco_warp_tpu as mjwt
+  from mujoco_warp_tpu import render as render_mod
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = mjwt.put_model(mjm)
+  d = mjwt.put_data(mjm, mjd, m)
+  rc = render_mod.create_render_context(mjm, m, width=32, height=32)
+  assert rc.mesh_has_uv[0], 'texcoords must be detected'
+  from mujoco_warp_tpu import smooth
+  rgb, depth, seg = jax.jit(lambda dd: render_mod.render(
+      m, smooth.camlight(m, smooth.com_pos(m, smooth.kinematics(m, dd))),
+      rc))(d)
+  img = np.asarray(rgb)[0]
+  hit = np.asarray(seg)[0] == 0
+  assert hit.sum() > 200, 'quad must cover most of the view'
+  # checker: red-dominant and blue-dominant texels both appear on the
+  # mesh face
+  r_dom = hit & (img[..., 0] > img[..., 2] * 2 + 0.05)
+  b_dom = hit & (img[..., 2] > img[..., 0] * 2 + 0.05)
+  assert r_dom.sum() > 30, (r_dom.sum(), img[16, :4])
+  assert b_dom.sum() > 30, (b_dom.sum(),)
