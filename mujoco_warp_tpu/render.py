@@ -122,6 +122,14 @@ def create_render_context(mjm, m: Model, width: int = 64,
   else:
     tex = np.zeros((0, 1, 1, 3), np.float32)
 
+  # flex surfaces render with flex_rgba; their color/texrepeat rows sit
+  # at index ngeom + flexid (seg ids likewise)
+  if int(mjm.nflex):
+    rgba = np.concatenate(
+        [rgba, np.asarray(mjm.flex_rgba, np.float32)], axis=0)
+    texrepeat = np.concatenate(
+        [texrepeat, np.ones((int(mjm.nflex), 2), np.float32)], axis=0)
+
   # per-face-corner mesh texcoords, reordered to match the
   # Morton-clustered face array m.mesh_faces (reference render.py:44
   # sample_texture MESH branch: barycentric uv from mesh_texcoord /
@@ -219,11 +227,49 @@ def _render_geoms(m: Model):
   return out
 
 
-def _closest_hit(m: Model, d: Data, gids, origin, dirs, rc=None):
-  """Closest hit over `gids`: (t (R,), slot (R,), normal (R, 3),
-  uv (R, 2)). `origin` is (3,) shared or (R, 3) per ray. uv carries
-  mesh texcoords for geoms whose mesh has them (zeros otherwise; the
-  caller selects by slot)."""
+def _render_flexes(m: Model):
+  """[(flexid, np tri-vertex-id array (T, 3))] of renderable flex
+  surfaces (reference bvh.py:608-1095 flex surface extraction; our
+  surface triangles are precomputed in FlexMeta.tri). Rendered with
+  flat face normals; ids in seg maps are ngeom + flexid."""
+  fx = m.flex_meta
+  if not fx.nflex or not fx.tri:
+    return []
+  tri = np.asarray(fx.tri, np.int32)
+  fid = np.asarray(fx.tri_flexid, np.int32)
+  return [(f, tri[fid == f]) for f in sorted(set(int(x) for x in fid))]
+
+
+def _ray_flex_hit(verts, tri, o, v):
+  """Closest hit vs dynamic world-space flex triangles (T, 3 ids into
+  verts); returns (t, world normal)."""
+  a = verts[tri[:, 0]]
+  e1 = verts[tri[:, 1]] - a
+  e2 = verts[tri[:, 2]] - a
+  pvec = jnp.cross(v[None, :], e2)
+  det = jnp.einsum('fi,fi->f', e1, pvec)
+  ok = jnp.abs(det) > 1e-12
+  inv = 1.0 / jnp.where(ok, det, 1.0)
+  tvec = o[None, :] - a
+  u = jnp.einsum('fi,fi->f', tvec, pvec) * inv
+  qvec = jnp.cross(tvec, e1)
+  w = jnp.einsum('i,fi->f', v, qvec) * inv
+  t = jnp.einsum('fi,fi->f', e2, qvec) * inv
+  hit = ok & (u >= 0) & (w >= 0) & (u + w <= 1) & (t >= 0)
+  tall = jnp.where(hit, t, _INF)
+  i = jnp.argmin(tall)
+  n = jnp.cross(e1[i], e2[i])
+  n = n * jnp.sign(-jnp.dot(n, v))
+  return tall[i], math.normalize(n)
+
+
+def _closest_hit(m: Model, d: Data, gids, origin, dirs, rc=None,
+                 flexes=()):
+  """Closest hit over `gids` (+ flex surfaces): (t (R,), slot (R,),
+  normal (R, 3), uv (R, 2)). `origin` is (3,) shared or (R, 3) per ray.
+  uv carries mesh texcoords for geoms whose mesh has them (zeros
+  otherwise; the caller selects by slot). Flex slots follow the geom
+  slots in order."""
   per_ray_origin = origin.ndim == 2
   o_of = (lambda i: origin) if not per_ray_origin else None
   zuv = jnp.zeros(2, dirs.dtype)
@@ -265,6 +311,17 @@ def _closest_hit(m: Model, d: Data, gids, origin, dirs, rc=None):
     ts.append(t_g)
     ns.append(n_g)
     uvs.append(uv_g)
+  for _fid, tri_np in flexes:
+    tri = jnp.asarray(tri_np)
+    fn = lambda o, v, tri=tri: _ray_flex_hit(
+        d.flexvert_xpos, tri, o, v) + (zuv,)
+    if per_ray_origin:
+      t_g, n_g, uv_g = jax.vmap(fn)(origin, dirs)
+    else:
+      t_g, n_g, uv_g = jax.vmap(lambda v: fn(origin, v))(dirs)
+    ts.append(t_g)
+    ns.append(n_g)
+    uvs.append(uv_g)
   tstack = jnp.stack(ts)                             # (G, R)
   slot = jnp.argmin(tstack, axis=0)                  # (R,)
   tmin = jnp.take_along_axis(tstack, slot[None], axis=0)[0]
@@ -276,9 +333,14 @@ def _closest_hit(m: Model, d: Data, gids, origin, dirs, rc=None):
   return tmin, slot, normal, uv
 
 
-def _any_hit(m: Model, d: Data, gids, origins, dirs, tmax):
+def _any_hit(m: Model, d: Data, gids, origins, dirs, tmax, flexes=()):
   """True per ray iff any geom is hit before tmax (shadow query)."""
   hit = jnp.zeros(dirs.shape[0], bool)
+  for _fid, tri_np in flexes:
+    tri = jnp.asarray(tri_np)
+    t_g = jax.vmap(lambda o, v: _ray_flex_hit(
+        d.flexvert_xpos, tri, o, v)[0])(origins, dirs)
+    hit = hit | (t_g < tmax)
   for g in gids:
     gt = GeomType(m.geom_type[g])
     if gt == GeomType.MESH:
@@ -321,6 +383,7 @@ def render(m: Model, d: Data, rc: RenderContext):
   arrays."""
   dtype = d.qpos.dtype
   gids = _render_geoms(m)
+  flexes = _render_flexes(m)
   res = _cam_resolutions(rc)                         # [(W_i, H_i)]
   uniform = len(set(res)) <= 1
 
@@ -353,7 +416,7 @@ def render(m: Model, d: Data, rc: RenderContext):
       adr += Hc * Wc
     return out
 
-  if not gids or not rc.cam_ids:
+  if not (gids or flexes) or not rc.cam_ids:
     rgbs = [jnp.zeros((h, w, 3), dtype) for (w, h) in res]
     depths = [jnp.full((h, w), -1.0, dtype) for (w, h) in res]
     segs = [jnp.full((h, w), -1, jnp.int32) for (w, h) in res]
@@ -365,9 +428,12 @@ def render(m: Model, d: Data, rc: RenderContext):
   pc = jnp.concatenate(org_list, axis=0)               # (R, 3)
 
   if True:
-    tmin, slot, normal, mesh_uv = _closest_hit(m, d, gids, pc, dirs, rc)
+    tmin, slot, normal, mesh_uv = _closest_hit(m, d, gids, pc, dirs, rc,
+                                               flexes)
     hit_mask = tmin < _INF * 0.5
-    gid_np = jnp.asarray(np.array(gids, np.int32))
+    # flex surfaces map to ids ngeom + flexid in seg/rgba tables
+    gid_np = jnp.asarray(np.array(
+        list(gids) + [m.ngeom + f for f, _ in flexes], np.int32))
     gid_arr = gid_np[slot]
     hits = pc + tmin[:, None] * dirs
 
@@ -376,12 +442,16 @@ def render(m: Model, d: Data, rc: RenderContext):
     # meshes with <mesh texcoord>)
     base = rc.geom_rgba[gid_arr, :3]
     if rc.use_textures:
-      texid_np = np.asarray([rc.geom_texid[g] for g in gids], np.int32)
+      nflex_slots = len(flexes)
+      texid_np = np.asarray([rc.geom_texid[g] for g in gids] +
+                            [-1] * nflex_slots, np.int32)
       is_plane_np = np.asarray(
-          [GeomType(m.geom_type[g]) == GeomType.PLANE for g in gids])
+          [GeomType(m.geom_type[g]) == GeomType.PLANE for g in gids] +
+          [False] * nflex_slots)
       is_uvmesh_np = np.asarray(
           [GeomType(m.geom_type[g]) == GeomType.MESH and
-           rc.mesh_has_uv[int(m.geom_dataid[g])] for g in gids])
+           rc.mesh_has_uv[int(m.geom_dataid[g])] for g in gids] +
+          [False] * nflex_slots)
       slot_tex = jnp.asarray(texid_np)[slot]
       textured = (slot_tex >= 0) & (jnp.asarray(is_plane_np)[slot] |
                                     jnp.asarray(is_uvmesh_np)[slot])
@@ -425,7 +495,8 @@ def render(m: Model, d: Data, rc: RenderContext):
       visible = jnp.ones(dirs.shape[0], dtype)
       if rc.use_shadows and rc.light_castshadow[li]:
         sh_origin = hits + normal * 1e-4
-        blocked = _any_hit(m, d, gids, sh_origin, L, dist_l - 1e-3)
+        blocked = _any_hit(m, d, gids, sh_origin, L, dist_l - 1e-3,
+                           flexes)
         visible = jnp.where(blocked & hit_mask, 0.3, 1.0)
       result = result + base * (ndotl * atten * visible)[:, None]
 

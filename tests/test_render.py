@@ -266,3 +266,50 @@ def test_mesh_surface_texture():
   b_dom = hit & (img[..., 2] > img[..., 0] * 2 + 0.05)
   assert r_dom.sum() > 30, (r_dom.sum(), img[16, :4])
   assert b_dom.sum() > 30, (b_dom.sum(),)
+
+
+def test_flex_rendering():
+  """Flex surfaces render: a cloth above the floor appears in rgb/seg
+  with id ngeom + flexid and its flex_rgba color (reference
+  bvh.py:608-1095 flex rendering; flat face normals here)."""
+  import jax
+  import numpy as np
+  import mujoco
+  import mujoco_warp_tpu as mjwt
+  from mujoco_warp_tpu import render as render_mod, smooth
+  from mujoco_warp_tpu import flex as flex_mod
+  xml = """
+  <mujoco>
+    <option timestep="0.002" jacobian="dense" solver="CG"/>
+    <worldbody>
+      <light pos="0 0 3" dir="0 0 -1" directional="true"/>
+      <flexcomp name="towel" type="grid" count="5 5 1"
+                spacing="0.06 0.06 0.06" radius="0.01" dim="2"
+                pos="0 0 0.6" mass="0.1" rgba="0.9 0.2 0.1 1">
+        <edge equality="true"/>
+        <elasticity young="2e3" poisson="0" thickness="1e-2"
+                    damping="2e-3" elastic2d="bend"/>
+        <contact contype="0" conaffinity="0"/>
+      </flexcomp>
+      <camera name="top" pos="0 0 1.6" xyaxes="1 0 0 0 1 0"/>
+    </worldbody>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = mjwt.put_model(mjm)
+  d = mjwt.put_data(mjm, mjd, m)
+  rc = render_mod.create_render_context(mjm, m, width=32, height=32)
+
+  def scene(dd):
+    dd = smooth.camlight(m, smooth.com_pos(m, smooth.kinematics(m, dd)))
+    dd = flex_mod.kinematics(m, dd)
+    return render_mod.render(m, dd, rc)
+  rgb, depth, seg = jax.jit(scene)(d)
+  seg = np.asarray(seg)[0]
+  img = np.asarray(rgb)[0]
+  flex_px = seg == m.ngeom  # flex 0
+  assert flex_px.sum() > 50, (np.unique(seg), flex_px.sum())
+  # flex rgba is red-dominant
+  assert (img[flex_px][:, 0] > img[flex_px][:, 2]).mean() > 0.9
