@@ -82,6 +82,12 @@ def probe(key: str, build: Callable[[], None]) -> bool:
   backends returns True without running (interpret mode accepts
   everything the real compiler would — probing there is round 3's
   mistake)."""
+  if os.environ.get('MJWT_PALLAS', '1') == '0':
+    # master kill-switch: every dispatch site consults a probe, so
+    # refusing all probes runs the engine pure-XLA (needed when a
+    # scene's Mosaic compile crashes the remote compile helper itself
+    # — aloha_pot, rounds 3-5)
+    return False
   mode = os.environ.get('MJWT_PROBE', '1')
   if mode == '0' or jax.default_backend() != 'tpu':
     return True

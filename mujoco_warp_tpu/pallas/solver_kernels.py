@@ -1183,14 +1183,18 @@ def _glue_core(cfg, gs, p_ref, qm_ref, j_ref, d_ref, aref_ref, fl_ref,
 
 def world_sort_perm(solver_niter):
   """(perm, inv_perm) grouping worlds by previous-step Newton iteration
-  count, or (None, None) when disabled (MJWT_SORT_WORLDS=0) or the batch
-  fits one lane block. Physics difficulty is temporally coherent (a
-  contact-rich world stays contact-rich), so last step's solver_niter
-  predicts this step's: sorting makes each 128-lane block's max-iter
-  approximately its mean instead of the batch max."""
+  count, or (None, None) when disabled (the default) or the batch fits
+  one lane block. Sorting makes each 128-lane block's max-iter
+  approximately its mean instead of the batch max — but permuting every
+  kernel input/output through XLA gathers costs ~2x the step time it
+  saves (TPU-measured r5: humanoid 4125us -> 7989us), so the per-step
+  sort is OFF unless MJWT_SORT_WORLDS=1. The win without the gathers is
+  PERSISTENT sorting: utils.benchmark re-sorts the whole Data pytree
+  every K steps (difficulty is temporally coherent), see
+  benchmark.sort_worlds."""
   import os as _os
   W = solver_niter.shape[0]
-  if _os.environ.get('MJWT_SORT_WORLDS', '1') != '1' or W <= LANES:
+  if _os.environ.get('MJWT_SORT_WORLDS', '0') != '1' or W <= LANES:
     return None, None
   perm = jnp.argsort(solver_niter)
   inv = jnp.argsort(perm)

@@ -699,8 +699,7 @@ def _chunked_solve(m: Model, d: Data) -> Data | None:
   disabled via MJWT_SOLVER_CHUNK=0)."""
   import os as _os
   chunk = int(_os.environ.get('MJWT_SOLVER_CHUNK', '1024'))
-  if (chunk <= 0 or d.qpos.ndim != 2 or
-      _os.environ.get('MJWT_SORT_WORLDS', '1') != '1'):
+  if chunk <= 0 or d.qpos.ndim != 2:
     return None
   W = d.qpos.shape[0]
   if W < 2 * chunk:

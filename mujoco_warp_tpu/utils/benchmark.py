@@ -81,6 +81,40 @@ def _lane_formats(batch: Data):
   return jax.tree.map(fmt, batch)
 
 
+def sort_worlds_with_ids(batch: Data, ids: jax.Array):
+  """sort_worlds plus a caller-side identity array permuted by the same
+  permutation, so side state keyed by world (noise streams, RL buffers)
+  travels with its row and trajectories are bit-identical to the
+  unsorted run — only the lane assignment changes."""
+  W = batch.solver_niter.shape[0]
+  perm = jnp.argsort(batch.solver_niter)
+  out = jax.tree.map(
+      lambda x: jnp.take(x, perm, axis=0)
+      if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[:1] == (W,)
+      else x, batch)
+  return out, jnp.take(ids, perm, axis=0)
+
+
+def sort_worlds(batch: Data) -> Data:
+  """Persistently reorder the batch's worlds by current solver
+  difficulty (solver_niter ascending). Worlds are independent, so a
+  permutation of the batch is the same physical ensemble — but the
+  worlds-in-lanes Newton kernels iterate each 128-lane block to its
+  own max, so grouping similar-difficulty worlds makes block-max ~=
+  block-mean (humanoid r4 profile: block max 6.5 vs mean 2.8 iters).
+  Doing this ONCE every K steps amortizes the full-pytree gather that
+  made the per-step in-kernel sort a 2x net loss (r5 A/B: 4125us ->
+  7989us). Callers tracking per-world identity (RL obs/reward buffers)
+  should apply the same permutation to their side arrays — returned
+  order is ascending jnp.argsort(solver_niter)."""
+  W = batch.solver_niter.shape[0]
+  perm = jnp.argsort(batch.solver_niter)
+  return jax.tree.map(
+      lambda x: jnp.take(x, perm, axis=0)
+      if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[:1] == (W,)
+      else x, batch)
+
+
 def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
               batch: Data, nstep: int, ctrlnoise_std: float = 0.01,
               ctrlnoise_rate: float = 0.1,
@@ -93,16 +127,35 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
 
   from ..forward import step_batched
 
-  def one_step(d, step_i):
+  # periodic persistent world re-sort (see sort_worlds_with_ids): every
+  # K steps, one full-pytree gather groups similar-difficulty worlds
+  # into the same 128-lane kernel blocks; worldids permute along so the
+  # noise stream travels with its row (trajectories bit-identical to
+  # the unsorted run). Folded into the step under lax.cond so there is
+  # ONE executable with stable layouts. Default OFF: measured on
+  # humanoid@8192 (r5, identical trajectories) K=10 cost 4451 us/step vs
+  # 4204 us unsorted and K=50 was a wash — the cond's buffer copies eat
+  # the block-max savings. Kept as an opt-in for models with heavier
+  # per-iteration solves.
+  resort_every = int(os.environ.get('MJWT_RESORT_EVERY', '0'))
+  use_resort = (resort_every > 0 and nworld > 128 and
+                jax.default_backend() == 'tpu')
+
+  def one_step(d, ids, step_i):
+    if use_resort:
+      d, ids = jax.lax.cond(
+          step_i % resort_every == 0,
+          lambda args: sort_worlds_with_ids(*args),
+          lambda args: args, (d, ids))
     noisy = jax.vmap(
         lambda c, w: ctrl_noise(m, c, w, step_i, ctrlnoise_std,
-                                ctrlnoise_rate))(d.ctrl, worldids)
+                                ctrlnoise_rate))(d.ctrl, ids)
     d = d.replace(ctrl=noisy)
     if step_fn is None:
       d = step_batched(m, d)
     else:
       d = jax.vmap(step_fn, in_axes=(None, 0))(m, d)
-    return d, step_i + 1
+    return d, ids, step_i + 1
 
   # python-loop dispatch with donated buffers beats lax.scan here: the
   # scan carry copies the full Data pytree every step, while donation
@@ -121,23 +174,24 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
   if lane_layout:
     fmts = _lane_formats(batch)
     run_step = jax.jit(one_step, donate_argnums=(0,),
-                       out_shardings=(fmts, None))
+                       out_shardings=(fmts, None, None))
   else:
     run_step = jax.jit(one_step, donate_argnums=(0,))
 
+  ids = worldids
   t0 = time.perf_counter()
-  d, step_i = run_step(batch, jnp.zeros((), jnp.int32))
+  d, ids, step_i = run_step(batch, ids, jnp.zeros((), jnp.int32))
   jax.block_until_ready(d.qpos)
   jit_time = time.perf_counter() - t0
 
   warmup = min(20, nstep)
   for _ in range(warmup):
-    d, step_i = run_step(d, step_i)
+    d, ids, step_i = run_step(d, ids, step_i)
   jax.block_until_ready(d.qpos)
   t0 = time.perf_counter()
   steps_done = max(nstep - warmup - 1, 1)
   for _ in range(steps_done):
-    d, step_i = run_step(d, step_i)
+    d, ids, step_i = run_step(d, ids, step_i)
   jax.block_until_ready(d.qpos)
   run_time = time.perf_counter() - t0
   del chunk

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from mujoco_warp_tpu.pallas import solver_kernels as sk
 
 
-def test_world_sort_perm_roundtrip():
+def test_world_sort_perm_roundtrip(monkeypatch):
+  monkeypatch.setenv('MJWT_SORT_WORLDS', '1')  # per-step sort is opt-in
   niter = jnp.asarray(np.random.default_rng(0).integers(0, 9, 300),
                       jnp.int32)
   perm, inv = sk.world_sort_perm(niter)
@@ -71,3 +72,52 @@ def test_newton_solve_perm_invariance():
   for b, p in zip(base, permed):
     np.testing.assert_allclose(np.asarray(b), np.asarray(p),
                                rtol=0, atol=1e-6)
+
+
+def test_sort_worlds_persistent_permutation():
+  """benchmark.sort_worlds permutes every per-world leaf by ascending
+  solver_niter, consistently across leaves (a world's row moves as one
+  unit), and leaves non-batch leaves alone."""
+  import dataclasses
+  import importlib
+
+  bm = importlib.import_module('mujoco_warp_tpu.utils.benchmark')
+
+  @jax.tree_util.register_dataclass
+  @dataclasses.dataclass(frozen=True)
+  class FakeData:
+    solver_niter: jax.Array
+    qpos: jax.Array
+    big: jax.Array
+    scalar: jax.Array
+
+  rng = np.random.default_rng(1)
+  W = 300
+  niter = jnp.asarray(rng.integers(0, 7, W), jnp.int32)
+  d = FakeData(
+      solver_niter=niter,
+      qpos=jnp.arange(W * 3, dtype=jnp.float32).reshape(W, 3),
+      big=jnp.arange(W * 4, dtype=jnp.float32).reshape(W, 2, 2),
+      scalar=jnp.float32(3.5))
+  out = bm.sort_worlds(d)
+  perm = np.asarray(jnp.argsort(niter))  # the exact perm applied
+  srt = np.asarray(out.solver_niter)
+  assert (np.diff(srt) >= 0).all()
+  # rows travel together: every leaf permuted by the same perm
+  np.testing.assert_array_equal(np.asarray(out.qpos),
+                                np.asarray(d.qpos)[perm])
+  np.testing.assert_array_equal(np.asarray(out.big),
+                                np.asarray(d.big)[perm])
+  assert float(out.scalar) == 3.5
+
+
+def test_mjwt_pallas_kill_switch(monkeypatch):
+  """MJWT_PALLAS=0 makes every probe refuse, forcing the pure-XLA path
+  (the escape hatch for scenes whose Mosaic compile crashes the remote
+  compile helper itself — aloha_pot)."""
+  from mujoco_warp_tpu.pallas import probe
+
+  monkeypatch.setenv('MJWT_PALLAS', '0')
+  called = []
+  assert probe.probe('kill_switch_test', lambda: called.append(1)) is False
+  assert not called  # build must never run
