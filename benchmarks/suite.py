@@ -69,7 +69,11 @@ def run_config(name: str, cfg: dict, nworld: int | None = None,
   # giant-nv scenes: dense efc_J (W, njmax, nv) plus the solver's
   # J-sized temporaries exceed HBM at full batch (aloha_cloth: nv=2716
   # -> 2.2 GB for J alone); microbatch the step over 8-world chunks
-  if mjm.nv * cfg['njmax'] * nworld * 4 > 1.5e9 and nworld % 8 == 0:
+  if '_MJWT_CHUNK_USER' not in globals():
+    globals()['_MJWT_CHUNK_USER'] = os.environ.get('MJWT_STEP_CHUNK')
+  if globals()['_MJWT_CHUNK_USER'] is not None:
+    os.environ['MJWT_STEP_CHUNK'] = globals()['_MJWT_CHUNK_USER']
+  elif mjm.nv * cfg['njmax'] * nworld * 4 > 1.5e9 and nworld % 8 == 0:
     os.environ['MJWT_STEP_CHUNK'] = '8'
   else:
     os.environ.pop('MJWT_STEP_CHUNK', None)

@@ -1188,7 +1188,12 @@ def make_contact_kernel(m: Model, nconmax: int):
       for (dist, pos, fr) in outs:
         dist_scr[ci] = dist[0]
         pos_scr[ci] = pos
-        frame_scr[ci] = fr
+        # store the NORMAL only: every collider's frame is
+        # _make_frame(normal), so the K-slot loop reconstructs the
+        # tangents from the selected normal (~35 (1,L) VPU ops) instead
+        # of selecting 9 rows with (ncand, L) masked reductions — 6 of
+        # 13 per-slot payload reductions gone
+        frame_scr[ci] = fr[0:3]
         ci += 1
     assert ci == ncand
 
@@ -1282,7 +1287,7 @@ def make_contact_kernel(m: Model, nconmax: int):
     CDang = [cdof_ref[:, i, :] for i in range(3)]  # pallas-lint: ok(once)
     CDlin = [cdof_ref[:, 3 + i, :] for i in range(3)]  # pallas-lint: ok(once)
     POSv = [pos_scr[:, i, :] for i in range(3)]  # pallas-lint: ok(once)
-    FRv = [frame_scr[:, i, :] for i in range(9)]  # pallas-lint: ok(once)
+    FRv = [frame_scr[:, i, :] for i in range(3)]  # pallas-lint: ok(once)
 
     # ---- equality rows (rows 0..ne-1; reference constraint.py:125-215,
     # connect/weld/joint — tendon/flex eq gated by supports()) ----
@@ -1437,7 +1442,7 @@ def make_contact_kernel(m: Model, nconmax: int):
           jnp.sum(onehot * POSv[i], axis=0, keepdims=True)
           for i in range(3)], axis=0)
       fr_s = [jnp.sum(onehot * FRv[i], axis=0, keepdims=True)
-              for i in range(9)]
+              for i in range(3)]
 
       # com of each side's root (grouped by distinct static root ids)
       com1_s = jnp.zeros((3, L), dt)
@@ -1470,8 +1475,13 @@ def make_contact_kernel(m: Model, nconmax: int):
         return mask_d * fa
 
       f_n = jnp.concatenate(fr_s[0:3], axis=0)
-      f_t1 = jnp.concatenate(fr_s[3:6], axis=0)
-      f_t2 = jnp.concatenate(fr_s[6:9], axis=0)
+      # tangents reconstructed from the selected (already-unit) normal:
+      # bit-equal to the collider's own _make_frame up to one extra
+      # renormalize. Inactive slots have a zero normal; _make_frame's
+      # 1e-30 norm guards keep it finite and slot_valid zeroes it out.
+      fr9full = _make_frame(f_n)
+      f_t1 = fr9full[3:6]
+      f_t2 = fr9full[6:9]
       jn = jp_row(f_n)
       jdirs = [jp_row(f_t1), jp_row(f_t2)]
       if condim_max > 3:
@@ -1524,7 +1534,8 @@ def make_contact_kernel(m: Model, nconmax: int):
       # contact pool slot outputs
       cd_out[s] = jnp.where(slot_valid, dist_s, _BIG)[0]
       cp_out[s] = pos_s * slot_valid.astype(dt)
-      cf_out[s] = jnp.concatenate(fr_s, axis=0) * slot_valid.astype(dt)
+      cf_out[s] = jnp.concatenate([f_n, f_t1, f_t2],
+                                  axis=0) * slot_valid.astype(dt)
       cfr_out[s] = jnp.where(slot_valid, fri, 1.0)
       csr_out[s] = jnp.where(slot_valid, sr, 0.02)
       csrf_out[s] = pvals[P_SOLREF:P_SOLREF + 2] * 0.0  # solreffriction
@@ -1711,7 +1722,7 @@ def contact_efc(m: Model, d, kernel, meta, interpret=False):
       out_shape=out_shape,
       scratch_shapes=[pltpu.VMEM((ncand, LANES), jnp.float32),
                       pltpu.VMEM((ncand, 3, LANES), jnp.float32),
-                      pltpu.VMEM((ncand, 9, LANES), jnp.float32),
+                      pltpu.VMEM((ncand, 3, LANES), jnp.float32),
                       pltpu.VMEM((ncand, LANES), jnp.float32)],
   )(*inputs)
 

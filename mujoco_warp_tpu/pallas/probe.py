@@ -45,14 +45,33 @@ def _disk_path() -> str:
 
 
 def _load_disk() -> dict:
+  """Disk memo. Values: bool (permanent verdict) or
+  [false, unix_ts, 'infra'] — a compile-SERVICE crash that reproduced
+  through every retry (the aloha_pot / tree_ldl:nv81 class: the Mosaic
+  compile deterministically kills the remote helper). Infra-bad entries
+  EXPIRE after MJWT_PROBE_INFRA_TTL seconds (default 24 h) so a genuine
+  transient outage can't poison the memo forever, while repeat runs
+  within the window skip the multi-minute crash-retry loop."""
   global _DISK
   if _DISK is None:
+    ttl = float(os.environ.get('MJWT_PROBE_INFRA_TTL', '86400'))
     try:
       with open(_disk_path()) as f:
-        _DISK = {k: bool(v) for k, v in json.load(f).items()}
+        raw = json.load(f)
+      _DISK = {}
+      for k, v in raw.items():
+        if isinstance(v, list) and len(v) == 3 and v[2] == 'infra':
+          if time.time() - float(v[1]) < ttl:
+            _DISK[k] = v  # still fresh: treated as known-bad
+        else:
+          _DISK[k] = bool(v)
     except Exception:  # missing/corrupt: start fresh
       _DISK = {}
   return _DISK
+
+
+def _disk_verdict(v) -> bool:
+  return bool(v) if not isinstance(v, list) else False
 
 
 def _save_disk() -> None:
@@ -96,10 +115,11 @@ def probe(key: str, build: Callable[[], None]) -> bool:
     return _MEMO[full_key]
   disk = _load_disk()
   if mode != 'force' and full_key in disk:
-    _MEMO[full_key] = disk[full_key]
-    if not disk[full_key]:
+    verdict = _disk_verdict(disk[full_key])
+    _MEMO[full_key] = verdict
+    if not verdict:
       _LOG.warning('pallas probe memo: %s known-bad, using XLA path', key)
-    return disk[full_key]
+    return verdict
   t0 = time.perf_counter()
   # run the compile in a worker thread with a wall-clock budget: a
   # Mosaic compile that takes hours (r3: three_humanoids sat in the
@@ -154,8 +174,15 @@ def probe(key: str, build: Callable[[], None]) -> bool:
         'pallas probe FAILED for %s after %.1fs — falling back to the '
         'XLA path. %s', key, time.perf_counter() - t0, err)
   _MEMO[full_key] = ok
-  if ok or not infra:  # a lingering infra failure must not poison
-    disk[full_key] = ok  # future processes' memo
+  if ok or not infra:
+    disk[full_key] = ok  # permanent verdict
+    _save_disk()
+  elif infra:
+    # the compile service crashed on EVERY retry — overwhelmingly a
+    # kernel-triggered deterministic helper crash, not a transient
+    # outage. Record known-bad WITH EXPIRY (see _load_disk) so repeat
+    # runs skip the crash-retry loop but a real outage self-heals.
+    disk[full_key] = [False, time.time(), 'infra']
     _save_disk()
   return ok
 

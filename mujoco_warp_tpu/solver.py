@@ -127,8 +127,10 @@ def spd_solve(m: Model, a: jax.Array, b: jax.Array) -> jax.Array:
       _dense_chol_probed(a.shape[0], a.shape[-1], a.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b)
-  if a.shape[-1] > 32:
-    return jnp.linalg.solve(a, b[..., None])[..., 0]
+  # any nv: linalg.spd_solve is unrolled below 32 and BLOCKED above
+  # (never XLA's batched cholesky/solve custom-calls — r5 profile:
+  # three_humanoids nv=81 spent its 406 ms/step almost entirely in
+  # batched jnp.linalg.solve here)
   if a.ndim == 3:
     return jax.vmap(linalg.spd_solve)(a, b)
   return linalg.spd_solve(a, b)
@@ -178,10 +180,8 @@ def spd_solve_factor(m: Model, a: jax.Array, b: jax.Array):
       _dense_chol_probed(a.shape[0], a.shape[-1], a.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.spd_solve_batched(a, b, return_factor=True)
-  if a.shape[-1] > 32:
-    l = jnp.linalg.cholesky(a)
-    x = jax.scipy.linalg.cho_solve((l, True), b[..., None])[..., 0]
-    return x, l
+  # linalg.cholesky/cho_solve: unrolled below 32, blocked above (no XLA
+  # batched-cholesky custom calls — see spd_solve)
   if a.ndim == 3:
     l = jax.vmap(linalg.cholesky)(a)
     return jax.vmap(linalg.cho_solve)(l, b), l
@@ -195,8 +195,6 @@ def cho_solve(m: Model, l: jax.Array, b: jax.Array) -> jax.Array:
       _dense_chol_probed(l.shape[0], l.shape[-1], l.dtype)):
     from .pallas import batch_linalg
     return batch_linalg.cho_solve_batched(l, b)
-  if l.shape[-1] > 32:
-    return jax.scipy.linalg.cho_solve((l, True), b[..., None])[..., 0]
   if l.ndim == 3:
     return jax.vmap(linalg.cho_solve)(l, b)
   return linalg.cho_solve(l, b)
