@@ -28,4 +28,7 @@ run aloha_cloth              BENCH_NWORLD=16 MJWT_STEP_CHUNK=4
 run aloha_pot                MJWT_PALLAS=0 BENCH_NSTEP=200
 grep -q '"metric": "aloha_pot_steps_per_sec"' "$OUT" ||
   run aloha_pot              MJWT_PALLAS=0 BENCH_NWORLD=1024 BENCH_NSTEP=200
+# re-runs on the r5c code: blocked linalg (nv=81) + MPR early-exit
+run three_humanoids
+run apptronik_apollo_flat    BENCH_NSTEP=200
 echo PASS3_DONE
