@@ -259,6 +259,21 @@ IntTuple = Tuple[int, ...]
 def _register(cls, meta: tuple[str, ...]):
   data = tuple(f.name for f in dataclasses.fields(cls) if f.name not in meta)
   jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+  # jax.export serialization (the serialized-step warm start,
+  # utils/benchmark.py) needs every pytree node type registered with a
+  # stable name + an auxdata codec; meta fields are plain python values
+  # so pickle round-trips them. Soft-fail on jax versions without the
+  # API.
+  try:
+    import pickle
+
+    from jax import export as _export
+    _export.register_pytree_node_serialization(
+        cls, serialized_name=f'mujoco_warp_tpu.{cls.__name__}',
+        serialize_auxdata=pickle.dumps,
+        deserialize_auxdata=pickle.loads)
+  except Exception:
+    pass
   return cls
 
 

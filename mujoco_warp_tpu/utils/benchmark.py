@@ -115,6 +115,35 @@ def sort_worlds(batch: Data) -> Data:
       else x, batch)
 
 
+def _export_key(m: Model, batch: Data, lane_layout: bool,
+                resort_every: int) -> str:
+  """Cache key for a serialized step executable. Includes the repo
+  commit (code changes invalidate) plus every shape the trace bakes."""
+  import hashlib
+  import os
+  import subprocess
+  rev = 'norev'
+  try:
+    rev = subprocess.run(
+        ['git', 'rev-parse', 'HEAD'], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=10).stdout.strip() or 'norev'
+  except Exception:
+    pass
+  import jax as _jax
+  sig = (f'{rev}:{_jax.__version__}:w{batch.qpos.shape[0]}'
+         f':nq{m.nq}nv{m.nv}nu{m.nu}ng{m.ngeom}'
+         f':nc{batch.contact.dist.shape[-1]}:nj{batch.efc_J.shape[-2]}'
+         f':ll{int(lane_layout)}:rs{resort_every}')
+  return hashlib.sha256(sig.encode()).hexdigest()[:24]
+
+
+def _export_path(key: str) -> str:
+  import os
+  from mujoco_warp_tpu import default_cache_dir
+  return os.path.join(default_cache_dir(), 'export', f'{key}.bin')
+
+
 def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
               batch: Data, nstep: int, ctrlnoise_std: float = 0.01,
               ctrlnoise_rate: float = 0.1,
@@ -178,11 +207,56 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
   else:
     run_step = jax.jit(one_step, donate_argnums=(0,))
 
+  # serialized-step warm start: tracing the three Pallas kernel bodies
+  # costs ~25 s of pure Python per fresh process (r5 profile: contact
+  # 17.6 s, smooth-mega 8.4 s, glue 5.9 s) — the persistent XLA cache
+  # cannot touch it. jax.export round-trips the WHOLE traced step
+  # (Mosaic kernels embedded as serialized custom calls) so a warm
+  # process skips tracing; XLA compile of the loaded module then hits
+  # the persistent cache. The reference analogue is Warp's 0.3 s
+  # cached graph capture. MJWT_EXPORT=0 disables. Any failure falls
+  # back to the normal trace path.
+  use_export = (os.environ.get('MJWT_EXPORT', '1') == '1' and
+                jax.default_backend() == 'tpu')
+  exp_loaded = False
+  exp_path = None
+  if use_export:
+    try:
+      from jax import export as jexport
+      exp_path = _export_path(_export_key(m, batch, lane_layout,
+                                          resort_every))
+      if os.path.exists(exp_path):
+        with open(exp_path, 'rb') as f:
+          exp = jexport.deserialize(f.read())
+        run_step = jax.jit(exp.call, donate_argnums=(0,))
+        exp_loaded = True
+    except Exception as e:  # stale/incompatible blob: re-trace
+      import logging
+      logging.getLogger(__name__).warning(
+          'serialized step load failed (%s); tracing fresh', e)
+      exp_loaded = False
+
   ids = worldids
   t0 = time.perf_counter()
   d, ids, step_i = run_step(batch, ids, jnp.zeros((), jnp.int32))
   jax.block_until_ready(d.qpos)
   jit_time = time.perf_counter() - t0
+
+  if use_export and exp_path and not exp_loaded:
+    try:
+      from jax import export as jexport
+      blob = jexport.export(run_step)(
+          jax.tree.map(
+              lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), d),
+          jax.ShapeDtypeStruct(ids.shape, ids.dtype),
+          jax.ShapeDtypeStruct((), jnp.int32)).serialize()
+      os.makedirs(os.path.dirname(exp_path), exist_ok=True)
+      with open(exp_path, 'wb') as f:
+        f.write(blob)
+    except Exception as e:
+      import logging
+      logging.getLogger(__name__).warning(
+          'serialized step save failed (%s)', e)
 
   warmup = min(20, nstep)
   for _ in range(warmup):

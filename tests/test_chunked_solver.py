@@ -55,6 +55,9 @@ def test_chunked_solve_gates(batch, monkeypatch):
   assert solver._chunked_solve(m, b) is None
   monkeypatch.setenv('MJWT_SOLVER_CHUNK', '16')  # W=20 < 2*16
   assert solver._chunked_solve(m, b) is None
+  # r5: chunking is independent of the (now opt-in) per-step world
+  # sort — its internal argsort IS the mechanism, so it stays active
+  # with MJWT_SORT_WORLDS unset/0
   monkeypatch.setenv('MJWT_SOLVER_CHUNK', '8')
   monkeypatch.setenv('MJWT_SORT_WORLDS', '0')
-  assert solver._chunked_solve(m, b) is None
+  assert solver._chunked_solve(m, b) is not None
