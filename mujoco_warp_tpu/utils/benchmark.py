@@ -228,7 +228,15 @@ def benchmark(step_fn: Callable[[Model, Data], Data], m: Model,
       if os.path.exists(exp_path):
         with open(exp_path, 'rb') as f:
           exp = jexport.deserialize(f.read())
-        run_step = jax.jit(exp.call, donate_argnums=(0,))
+        # re-apply the lane-major output formats on the wrapper jit:
+        # without them the exported call's outputs relayout back to the
+        # default batch-major boundary every step (measured: 4064 ->
+        # 4479 us/step)
+        if lane_layout:
+          run_step = jax.jit(exp.call, donate_argnums=(0,),
+                             out_shardings=(fmts, None, None))
+        else:
+          run_step = jax.jit(exp.call, donate_argnums=(0,))
         exp_loaded = True
     except Exception as e:  # stale/incompatible blob: re-trace
       import logging
